@@ -1,0 +1,39 @@
+"""sharkmer_tpu — a TPU-native k-mer counting and in silico PCR framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+caseywdunn/sharkmer (reference: /root/reference, v3.1.0):
+
+1. Canonical k-mer counting with 2-bit rolling encoding
+   (reference: src/kmer/encoding.rs:332, src/kmer/counting.rs:113).
+   Here: reads are fixed-width uint8 code batches; a vectorised window
+   encoder emits canonical k-mers which are aggregated into an
+   HBM-resident open-addressed count table (ops/encoding.py,
+   ops/hashtable.py).
+
+2. Incremental ("chunked") counting with per-chunk histogram snapshots
+   (reference: src/io.rs:977-1161). Here: reads are grouped by
+   round-robin chunk id, ingested chunk by chunk, and the histogram is
+   snapshotted from the device table via a clipped bincount
+   (ops/histogram.py).
+
+3. In silico PCR (sPCR): primer-seeded de Bruijn graph extension over
+   the count table (reference: src/pcr/). Here: the graph lives on
+   host (python dicts — graphs are <=500k nodes), while every hot
+   lookup (primer scans, frontier candidate probes) is a batched
+   device kernel against the count table (pcr/).
+
+The count table shards across a `jax.sharding.Mesh` for multi-chip /
+multi-host runs (parallel/sharded_table.py): scatter-adds become
+owner-routed local inserts, histograms merge with psum, lookups fan
+out shard-local and combine with a max-reduce.
+
+JAX x64 must be enabled before any jax import downstream of this
+package (k-mers are 2k-bit values packed in uint64, k <= 31).
+"""
+
+import jax
+
+# k-mers are packed 2 bits/base into uint64 (k <= 31 -> up to 62 bits).
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

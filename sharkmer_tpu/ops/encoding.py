@@ -1,0 +1,185 @@
+"""2-bit DNA encoding and vectorised canonical k-mer extraction.
+
+Semantics match the reference hot path ``kmers_from_ascii``
+(/root/reference/src/kmer/encoding.rs:332-371):
+
+* A=00, C=01, G=10, T=11; a k-mer occupies the low 2k bits of a u64.
+* The canonical form of a k-mer is ``min(kmer, revcomp(kmer))``.
+* ``N`` splits the sequence: no window spanning an N emits a k-mer.
+* k must be in 1..=31 (2k bits must fit a u64 with headroom for the
+  sentinel).
+
+Two independent implementations are kept permanently, copying the
+reference's dual-path testing pattern (encoding.rs:4-23):
+
+* ``canonical_kmers`` — the production path: a jit-compiled window
+  encoder over fixed-width uint8 code batches ``[n_reads, width]``.
+  Instead of the reference's sequential rolling frame (a loop-carried
+  dependency), each output position is built by OR-ing k statically
+  shifted slices of the code array — k vector ops over the whole
+  batch, fully parallel on the VPU, no sequential scan.
+* ``kmers_from_ascii_ref`` — a tiny pure-Python rolling reference used
+  only by tests to cross-check the device path bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASE_A, BASE_C, BASE_G, BASE_T = 0, 1, 2, 3
+CODE_N = 4  # splits windows, counts as invalid
+CODE_PAD = 5  # right-padding of fixed-width batches, invalid
+KMER_SENTINEL = np.uint64(0xFFFF_FFFF_FFFF_FFFF)  # impossible k-mer (k <= 31)
+
+_ASCII_TO_CODE = np.full(256, 255, dtype=np.uint8)
+_ASCII_TO_CODE[ord("A")] = BASE_A
+_ASCII_TO_CODE[ord("C")] = BASE_C
+_ASCII_TO_CODE[ord("G")] = BASE_G
+_ASCII_TO_CODE[ord("T")] = BASE_T
+_ASCII_TO_CODE[ord("N")] = CODE_N
+
+_CODE_TO_BASE = "ACGTN"
+
+
+def _check_k(k: int) -> None:
+    if not (0 < k < 32):
+        raise ValueError(f"k must be between 1 and 31, got {k}")
+
+
+def ascii_to_codes(seq: str | bytes) -> np.ndarray:
+    """ASCII sequence -> uint8 codes (A/C/G/T -> 0..3, N -> 4).
+
+    Raises ValueError on characters outside ACGTN, matching the
+    reference's error behaviour (encoding.rs:353-357).
+    """
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    codes = _ASCII_TO_CODE[raw]
+    if codes.max(initial=0) == 255:
+        bad = chr(raw[int(np.argmax(codes == 255))])
+        raise ValueError(
+            f"Invalid character '{bad}' in sequence. Only ACGTN allowed."
+        )
+    return codes
+
+
+def codes_to_batch(seqs: list[np.ndarray], width: int | None = None) -> np.ndarray:
+    """Stack variable-length code arrays into a right-padded [n, width] batch."""
+    if width is None:
+        width = max((len(s) for s in seqs), default=0)
+    out = np.full((len(seqs), width), CODE_PAD, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        if len(s) > width:
+            raise ValueError(f"sequence of length {len(s)} exceeds batch width {width}")
+        out[i, : len(s)] = s
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def canonical_kmers(codes: jax.Array, k: int):
+    """Extract canonical k-mers from a fixed-width code batch.
+
+    Args:
+      codes: uint8 array [n_reads, width] with values 0..3 (bases),
+        4 (N) or 5 (pad).
+      k: k-mer length (static), 1..31.
+
+    Returns:
+      (kmers, valid): uint64 [n_reads, width-k+1] canonical k-mers and
+      a bool mask of windows that contain only real bases. Invalid
+      positions hold KMER_SENTINEL.
+    """
+    _check_k(k)
+    n, width = codes.shape
+    w = width - k + 1
+    if w <= 0:
+        return (
+            jnp.full((n, 0), KMER_SENTINEL, dtype=jnp.uint64),
+            jnp.zeros((n, 0), dtype=bool),
+        )
+
+    fwd = jnp.zeros((n, w), dtype=jnp.uint64)
+    rev = jnp.zeros((n, w), dtype=jnp.uint64)
+    valid = jnp.ones((n, w), dtype=bool)
+    for j in range(k):
+        c8 = jax.lax.dynamic_slice_in_dim(codes, j, w, axis=1)
+        valid = valid & (c8 < CODE_N)
+        c = (c8 & 3).astype(jnp.uint64)
+        # forward frame: base j of the window sits at bit 2*(k-1-j)
+        fwd = fwd | (c << jnp.uint64(2 * (k - 1 - j)))
+        # reverse-complement frame: complemented base j sits at bit 2*j
+        rev = rev | ((c ^ jnp.uint64(3)) << jnp.uint64(2 * j))
+    canon = jnp.minimum(fwd, rev)
+    canon = jnp.where(valid, canon, jnp.uint64(KMER_SENTINEL))
+    return canon, valid
+
+
+# ---------------------------------------------------------------------------
+# Pure-python reference + host-side helpers (primer preprocessing, output)
+# ---------------------------------------------------------------------------
+
+def kmers_from_ascii_ref(seq: str, k: int) -> list[int]:
+    """Rolling-frame reference encoder; mirrors encoding.rs:332-371 exactly.
+
+    Kept permanently for cross-check tests against ``canonical_kmers``.
+    """
+    _check_k(k)
+    mask = (1 << (2 * k)) - 1
+    kmers: list[int] = []
+    frame = 0
+    revframe = 0
+    n_valid = 0
+    for ch in seq:
+        if ch == "N":
+            frame = 0
+            revframe = 0
+            n_valid = 0
+            continue
+        try:
+            base = "ACGT".index(ch)
+        except ValueError:
+            raise ValueError(
+                f"Invalid character '{ch}' in sequence. Only ACGTN allowed."
+            ) from None
+        frame = ((frame << 2) | base) & ((1 << 64) - 1)
+        revframe = (revframe >> 2) | ((3 - base) << (2 * (k - 1)))
+        n_valid += 1
+        if n_valid >= k:
+            kmers.append(min(frame & mask, revframe & mask))
+    return kmers
+
+
+def revcomp_kmer(kmer: int, k: int) -> int:
+    """Reverse complement of a 2-bit packed k-mer (host python int)."""
+    out = 0
+    for i in range(k):
+        base = (kmer >> (2 * i)) & 3
+        out = (out << 2) | (3 - base)
+    return out & ((1 << (2 * k)) - 1)
+
+
+def kmer_to_seq(kmer: int, k: int) -> str:
+    return "".join(
+        _CODE_TO_BASE[(kmer >> (2 * (k - 1 - i))) & 3] for i in range(k)
+    )
+
+
+def seq_to_kmer(seq: str) -> int:
+    kmer = 0
+    for ch in seq:
+        kmer = (kmer << 2) | "ACGT".index(ch)
+    return kmer
+
+
+def kmer_last_base(kmer: int) -> str:
+    return _CODE_TO_BASE[kmer & 3]
+
+
+def count_valid_bases(seq: str) -> int:
+    """Number of non-N bases (encoding.rs:374-376)."""
+    return sum(1 for c in seq if c != "N")
