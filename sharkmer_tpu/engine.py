@@ -1,0 +1,179 @@
+"""The counting engine: stream reads -> device count table -> spectra.
+
+Pipeline parity with the reference
+(/root/reference/src/io.rs:366-595, 977-1161):
+
+* Reads are assigned to incremental chunks round-robin in batches of
+  1000 (io.rs:355-361).
+* ``chunks == 0`` skips histograms ("plain merge" mode) but still
+  counts into one internal chunk (io.rs:377-379).
+* Consolidation processes chunks in order; after each chunk the
+  running histogram is snapshotted (io.rs:1016-1027). The final
+  histogram equals the single-pass histogram regardless of chunk count
+  (chunk invariance, tests/spcr_18s.rs:438-528).
+* Run invariants are asserted: total hashed count == k-mers ingested
+  (io.rs:1042-1047), histogram totals match the table
+  (io.rs:1120-1132).
+
+TPU-native shape: the reference merges per-chunk CPU hash maps into a
+master map one entry at a time; here there is a single device table
+and "merging chunk j" simply means ingesting chunk j's read batch —
+the per-chunk snapshot is a clipped bincount over the table's counts
+array (one HBM sweep). Reads are buffered host-side per chunk (raw
+ASCII bytes) only when chunks > 1; otherwise they stream straight to
+the device.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from .ops import encoding
+from .ops.hashtable import KmerTable
+
+log = logging.getLogger("sharkmer")
+
+N_READS_PER_BATCH = 1000  # round-robin chunk assignment granularity
+DEVICE_BATCH_READS = 1 << 16  # reads per device ingest call
+WIDTH_BUCKET = 32  # pad widths up to a multiple to limit recompiles
+
+
+@dataclass
+class IngestStats:
+    n_reads_read: int = 0
+    n_bases_read: int = 0
+    n_reads_ingested: int = 0
+    n_bases_ingested: int = 0  # valid (non-N) bases
+    n_kmers_ingested: int = 0
+
+
+@dataclass
+class CountingEngine:
+    k: int
+    n_chunks: int = 0
+    histo_max: int = 10000
+    initial_capacity: int = 1 << 20
+    table: KmerTable = field(init=False)
+    stats: IngestStats = field(init=False)
+    _chunk_buffers: list[list[bytes]] = field(init=False)
+    _stream_buffer: list[bytes] = field(init=False)
+
+    def __post_init__(self):
+        self.table = KmerTable.create(self.k, self.initial_capacity)
+        self.stats = IngestStats()
+        n = max(self.n_chunks, 1)
+        self._chunk_buffers = [[] for _ in range(n)]
+        self._stream_buffer = []
+
+    # -- ingest -------------------------------------------------------------
+
+    @property
+    def _buffering(self) -> bool:
+        # Per-chunk snapshots need chunk-ordered ingestion, so reads are
+        # buffered when more than one chunk exists.
+        return max(self.n_chunks, 1) > 1
+
+    def ingest(self, sequences: Iterator[bytes], max_reads: int = 0) -> bool:
+        """Consume sequences (ASCII bytes). Returns True if max_reads hit."""
+        n_chunks = max(self.n_chunks, 1)
+        for seq in sequences:
+            batch_idx = self.stats.n_reads_read // N_READS_PER_BATCH
+            chunk_id = batch_idx % n_chunks
+            self.stats.n_reads_read += 1
+            self.stats.n_bases_read += len(seq)
+            if self._buffering:
+                self._chunk_buffers[chunk_id].append(seq)
+            else:
+                self._stream_buffer.append(seq)
+                if len(self._stream_buffer) >= DEVICE_BATCH_READS:
+                    self._ingest_seqs(self._stream_buffer)
+                    self._stream_buffer = []
+            if max_reads > 0 and self.stats.n_reads_read >= max_reads:
+                return True
+        return False
+
+    def _ingest_seqs(self, seqs: list[bytes]) -> None:
+        """Encode a group of reads and insert their canonical k-mers."""
+        for batch in _width_batches(seqs):
+            codes = _encode_batch(batch)
+            kmers, valid = encoding.canonical_kmers(codes, self.k)
+            n_valid_bases = int(np.sum(np.asarray(codes) < encoding.CODE_N))
+            n_kmers = int(np.sum(np.asarray(valid)))
+            self.table = self.table.insert_kmers(kmers.reshape(-1))
+            self.stats.n_reads_ingested += len(batch)
+            self.stats.n_bases_ingested += n_valid_bases
+            self.stats.n_kmers_ingested += n_kmers
+
+    # -- consolidate ---------------------------------------------------------
+
+    def consolidate(self) -> list[np.ndarray] | None:
+        """Finish ingestion; returns per-chunk histogram snapshots (or None
+        when chunks == 0). Asserts the reference's count-conservation
+        invariants."""
+        histo_vecs: list[np.ndarray] | None = None
+        if self._buffering:
+            histo_vecs = []
+            for chunk_id in range(max(self.n_chunks, 1)):
+                seqs = self._chunk_buffers[chunk_id]
+                self._ingest_seqs(seqs)
+                self._chunk_buffers[chunk_id] = []
+                histo_vecs.append(self.table.histogram(self.histo_max))
+        else:
+            if self._stream_buffer:
+                self._ingest_seqs(self._stream_buffer)
+                self._stream_buffer = []
+            if self.n_chunks > 0:  # chunks == 1: one snapshot
+                histo_vecs = [self.table.histogram(self.histo_max)]
+
+        n_hashed = self.table.n_total()
+        if n_hashed != self.stats.n_kmers_ingested:
+            raise AssertionError(
+                f"The total count of hashed kmers ({n_hashed}) does not equal "
+                f"the number of ingested kmers ({self.stats.n_kmers_ingested})"
+            )
+        if histo_vecs is not None:
+            final = histo_vecs[-1]
+            n_unique_histo = int(np.sum(final[1:]))
+            n_unique_table = self.table.n_unique()
+            if n_unique_histo != n_unique_table:
+                raise AssertionError(
+                    f"The total count of unique kmers in the histogram "
+                    f"({n_unique_histo}) does not equal the total count of "
+                    f"hashed kmers ({n_unique_table})"
+                )
+        return histo_vecs
+
+    def n_singletons(self, histo_vecs: list[np.ndarray] | None) -> int | None:
+        if not histo_vecs:
+            return None
+        return int(histo_vecs[-1][1])
+
+
+def _width_batches(seqs: Iterable[bytes]) -> Iterator[list[bytes]]:
+    """Split reads into device batches bucketed by padded width."""
+    buckets: dict[int, list[bytes]] = {}
+    for seq in seqs:
+        w = max(WIDTH_BUCKET, -(-len(seq) // WIDTH_BUCKET) * WIDTH_BUCKET)
+        b = buckets.setdefault(w, [])
+        b.append(seq)
+        if len(b) >= DEVICE_BATCH_READS:
+            yield b
+            buckets[w] = []
+    for b in buckets.values():
+        if b:
+            yield b
+
+
+def _encode_batch(seqs: list[bytes]) -> np.ndarray:
+    width = max(WIDTH_BUCKET, -(-max(len(s) for s in seqs) // WIDTH_BUCKET) * WIDTH_BUCKET)
+    # pad the read-count dimension to the bucket size only when close, to
+    # bound distinct compiled shapes without wasting large pads
+    out = np.full((len(seqs), width), encoding.CODE_PAD, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        codes = encoding.ascii_to_codes(s)
+        out[i, : len(codes)] = codes
+    return out
