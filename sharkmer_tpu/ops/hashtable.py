@@ -219,6 +219,13 @@ def _revcomp_kernel(keys, k: int):
     return jnp.where(keys == EMPTY, EMPTY, out)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _lookup_directional_kernel(keys, counts, queries, k: int):
+    rc = _revcomp_kernel(queries, k)
+    canon = jnp.minimum(queries, rc)
+    return _lookup_kernel(keys, counts, canon)
+
+
 @functools.partial(jax.jit, donate_argnums=(2, 3))
 def _rehash_kernel(old_keys, old_counts, new_keys, new_counts):
     return _insert_kernel(
@@ -297,6 +304,24 @@ class KmerTable:
         """Counts for canonical queries (uint32, 0 when absent)."""
         q = jnp.asarray(queries, dtype=jnp.uint64)
         return _lookup_kernel(self.keys, self.counts, q)
+
+    def lookup_directional(self, queries) -> np.ndarray:
+        """Counts for *directional* k-mers: canonicalize (min of the k-mer
+        and its revcomp) on device, then probe. Replaces the reference's
+        two-orientation probe ``get_canonical`` (counting.rs:218-222).
+
+        Host convenience: accepts numpy, pads to a power-of-two batch to
+        bound the number of compiled shapes, returns numpy uint32.
+        """
+        q = np.asarray(queries, dtype=np.uint64).reshape(-1)
+        n = q.shape[0]
+        if n == 0:
+            return np.zeros(0, np.uint32)
+        padded = 1 << max(6, (n - 1).bit_length())
+        qp = np.full(padded, np.uint64(KMER_SENTINEL), dtype=np.uint64)
+        qp[:n] = q
+        out = _lookup_directional_kernel(self.keys, self.counts, jnp.asarray(qp), self.k)
+        return np.asarray(out)[:n]
 
     def histogram(self, histo_max: int) -> np.ndarray:
         """uint64 vector of length histo_max+2 (see Histogram::get_vector)."""
