@@ -1,0 +1,221 @@
+"""End-to-end CLI tests: full pipeline runs over synthetic FASTQ.
+
+Parity targets from the reference integration suite
+(/root/reference/tests/spcr_18s.rs): output file presence/absence,
+stats.yaml fields, dry-run produces nothing, early-exit flags, error
+paths, inline-primer runs recovering an amplicon.
+"""
+
+import os
+
+import pytest
+import yaml
+
+from sharkmer_tpu.main import main
+
+from data_18s import READ_STRING
+from util import random_genome, reads_from_genome, write_fastq
+
+
+def tiling_reads(seq, read_len=120, step=20):
+    return [
+        seq[i : i + read_len]
+        for i in range(0, len(seq) - read_len + 1, step)
+    ]
+
+
+@pytest.fixture()
+def fastq_18s(tmp_path):
+    # Tiling reads (6x) plus full-length copies so coverage stays >= the
+    # min-count threshold at the amplicon edges.
+    path = tmp_path / "reads.fastq"
+    write_fastq(path, tiling_reads(READ_STRING) + [READ_STRING] * 5)
+    return str(path)
+
+
+PRIMER_SPEC = (
+    "forward=AACCTGGTTGATCCTGCCAGT,reverse=TGATCCTTCTGCAGGTTCACCTAC,"
+    "name=18s,max-length=2500,min-count=3"
+)
+
+
+def run_cli(args):
+    return main(args)
+
+
+def test_spcr_recovers_18s(tmp_path, fastq_18s):
+    out = tmp_path / "out"
+    rc = run_cli([
+        fastq_18s, "-s", "samp", "-k", "21", "-o", str(out),
+        "--pcr-primers", PRIMER_SPEC,
+    ])
+    assert rc == 0
+    fasta = out / "samp_18s.fasta"
+    assert fasta.exists()
+    content = fasta.read_text()
+    assert content.startswith(">samp_18s_0 ")
+    seq = "".join(
+        l for l in content.splitlines() if not l.startswith(">")
+    )
+    assert seq in READ_STRING
+    assert len(seq) == 1808
+
+    stats = yaml.safe_load((out / "samp.stats.yaml").read_text())
+    assert stats["sample"] == "samp"
+    assert stats["kmer_length"] == 21
+    assert stats["pcr_results"][0]["status"] == "success"
+    assert stats["pcr_results"][0]["n_products"] == 1
+    assert stats["pcr_results"][0]["product_lengths"] == [1808]
+    # no histograms without --chunks
+    assert not (out / "samp.histo").exists()
+
+
+def test_chunks_produce_histograms(tmp_path):
+    genome = random_genome(2000, seed=5)
+    path = tmp_path / "r.fastq"
+    write_fastq(path, reads_from_genome(genome, 3000, 100, seed=6), gzipped=False)
+    out = tmp_path / "out"
+    rc = run_cli([
+        str(path), "-s", "x", "-k", "17", "--chunks", "5",
+        "--histo-max", "100", "-o", str(out),
+    ])
+    assert rc == 0
+    histo = (out / "x.histo").read_text().splitlines()
+    assert histo[1] == "count\t" + "\t".join(f"chunk_{i}" for i in range(1, 6))
+    assert len(histo) == 2 + 101
+    final = (out / "x.final.histo").read_text().splitlines()
+    assert final[1] == "count\tfrequency"
+    stats = yaml.safe_load((out / "x.stats.yaml").read_text())
+    assert stats["chunks"] == 5
+    assert stats["n_singleton_kmers"] >= 0
+    assert (
+        stats["n_multi_kmers"] + stats["n_singleton_kmers"] <= stats["n_kmers"]
+    )
+
+
+def test_chunk_invariance_via_cli(tmp_path):
+    genome = random_genome(3000, seed=9)
+    path = tmp_path / "r.fastq"
+    write_fastq(path, reads_from_genome(genome, 2500, 90, seed=10))
+    outs = []
+    for chunks in (1, 10):
+        out = tmp_path / f"out{chunks}"
+        rc = run_cli([
+            str(path), "-s", "c", "-k", "19", "--chunks", str(chunks),
+            "--histo-max", "50", "-o", str(out),
+        ])
+        assert rc == 0
+        # skip the comment line (it records the chunk count)
+        outs.append((out / "c.final.histo").read_text().splitlines()[1:])
+    assert outs[0] == outs[1]
+
+
+def test_dry_run_produces_nothing(tmp_path, fastq_18s, capsys):
+    out = tmp_path / "out"
+    with pytest.raises(SystemExit) as exc:
+        run_cli([
+            fastq_18s, "-s", "samp", "-o", str(out), "--dry-run",
+            "--pcr-primers", PRIMER_SPEC,
+        ])
+    assert exc.value.code == 0
+    assert not out.exists()
+    err = capsys.readouterr().err
+    assert "(dry run)" in err
+    assert "samp_18s.fasta" in err
+
+
+def test_list_panels_and_cite(capsys):
+    with pytest.raises(SystemExit):
+        run_cli(["--list-panels"])
+    out = capsys.readouterr().out
+    for name in ["cnidaria", "insecta", "metazoa"]:
+        assert name in out
+
+    with pytest.raises(SystemExit):
+        run_cli(["--cite"])
+    assert "10.1093/bioinformatics" in capsys.readouterr().out
+
+
+def test_export_panel(capsys):
+    with pytest.raises(SystemExit):
+        run_cli(["--export-panel", "cnidaria"])
+    out = capsys.readouterr().out
+    assert out.startswith("name: cnidaria")
+
+
+def test_validate_panels(capsys):
+    with pytest.raises(SystemExit):
+        run_cli(["--validate-panels", "--pcr-panel", "cnidaria"])
+    out = capsys.readouterr().out
+    assert "All primers valid." in out
+    assert "cnidaria_18S" in out
+
+
+def test_panel_prefix_naming(tmp_path, fastq_18s):
+    out = tmp_path / "out"
+    rc = run_cli([
+        fastq_18s, "-s", "s2", "-k", "21", "-o", str(out),
+        "--pcr-panel-file", "tests/fixtures/test_panel.yaml",
+    ])
+    assert rc == 0
+    stats = yaml.safe_load((out / "s2.stats.yaml").read_text())
+    names = [r["gene_name"] for r in stats["pcr_results"]]
+    assert names == ["test_panel_18S"]
+
+
+def test_error_fasta_input(tmp_path):
+    path = tmp_path / "x.fasta"
+    path.write_text(">seq\nACGT\n")
+    rc = run_cli([str(path), "-s", "s", "-o", str(tmp_path / "o")])
+    assert rc == 1
+
+
+def test_error_missing_file(tmp_path):
+    rc = run_cli(["/nonexistent.fastq", "-s", "s", "-o", str(tmp_path / "o")])
+    assert rc == 1
+
+
+def test_error_missing_sample(tmp_path, fastq_18s):
+    rc = run_cli([fastq_18s, "-o", str(tmp_path / "o")])
+    assert rc == 1
+
+
+def test_error_even_k(tmp_path, fastq_18s):
+    rc = run_cli([fastq_18s, "-s", "s", "-k", "20", "-o", str(tmp_path / "o")])
+    assert rc == 1
+
+
+def test_error_duplicate_gene_names(tmp_path, fastq_18s):
+    rc = run_cli([
+        fastq_18s, "-s", "s", "-o", str(tmp_path / "o"),
+        "--pcr-primers", "forward=ACGTACGTAA,reverse=TTGGCCAATT,name=g",
+        "--pcr-primers", "forward=ACGTACGTCC,reverse=TTGGCCAAGG,name=g",
+    ])
+    assert rc == 1
+
+
+def test_max_reads_cap(tmp_path):
+    genome = random_genome(2000, seed=11)
+    path = tmp_path / "r.fastq"
+    write_fastq(path, reads_from_genome(genome, 500, 80, seed=12))
+    out = tmp_path / "out"
+    rc = run_cli([
+        str(path), "-s", "m", "-k", "15", "-m", "100", "-o", str(out),
+    ])
+    assert rc == 0
+    stats = yaml.safe_load((out / "m.stats.yaml").read_text())
+    assert stats["n_reads_read"] == 100
+
+
+def test_gene_failure_reason_always_set(tmp_path, fastq_18s):
+    out = tmp_path / "out"
+    rc = run_cli([
+        fastq_18s, "-s", "f", "-k", "21", "-o", str(out),
+        "--pcr-primers",
+        "forward=GGGGGGGGGGGGGGG,reverse=CCCCCCCCCCCCCAA,name=bad,mismatches=0",
+    ])
+    assert rc == 0
+    stats = yaml.safe_load((out / "f.stats.yaml").read_text())
+    r = stats["pcr_results"][0]
+    assert r["status"] == "fail"
+    assert r["failure_reason"]
