@@ -1,0 +1,97 @@
+"""Shard-invariance tests: N-shard results must equal 1-shard results
+bit-for-bit (the distributed analog of the reference's chunk-invariance
+oracle, tests/spcr_18s.rs:438-528)."""
+
+import collections
+
+import jax
+import numpy as np
+import pytest
+
+from sharkmer_tpu.ops import KmerTable, ascii_to_codes, codes_to_batch
+from sharkmer_tpu.ops.encoding import kmers_from_ascii_ref, seq_to_kmer
+from sharkmer_tpu.parallel import ShardedKmerTable, make_mesh
+
+from util import random_genome, reads_from_genome
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    genome = random_genome(4000, seed=21, n_rate=0.005)
+    reads = reads_from_genome(genome, 2000, read_len=100, seed=22)
+    return reads
+
+
+def build_both(reads, k, mesh, batches=4):
+    single = KmerTable.create(k, capacity=1 << 14)
+    sharded = ShardedKmerTable.create(k, mesh, local_capacity=1 << 11)
+    n = len(reads)
+    step = -(-n // batches)
+    for i in range(0, n, step):
+        codes = codes_to_batch([ascii_to_codes(r) for r in reads[i : i + step]])
+        single = single.ingest_codes(codes)
+        sharded = sharded.ingest_codes(codes)
+    return single, sharded
+
+
+def test_sharded_matches_single(mesh8, dataset):
+    k = 21
+    single, sharded = build_both(dataset, k, mesh8)
+
+    assert sharded.n_unique() == single.n_unique()
+    assert sharded.n_total() == single.n_total()
+    assert sharded.to_dict() == single.to_dict()
+
+    # histograms bit-identical
+    np.testing.assert_array_equal(sharded.histogram(100), single.histogram(100))
+
+    # lookups identical (hits and misses)
+    rng = np.random.default_rng(3)
+    queries = np.concatenate([
+        np.array(list(single.to_dict().keys())[:500], np.uint64),
+        rng.integers(0, 1 << 42, size=500, dtype=np.uint64),
+    ])
+    np.testing.assert_array_equal(
+        sharded.lookup_directional(queries), single.lookup_directional(queries)
+    )
+
+
+def test_sharded_prefix_scan_matches(mesh8, dataset):
+    k = 15
+    single, sharded = build_both(dataset, k, mesh8)
+    oligo = np.array([seq_to_kmer(dataset[0][:9])], np.uint64)
+    k1, c1 = single.prefix_scan(oligo, 9, min_count=1)
+    k2, c2 = sharded.prefix_scan(oligo, 9, min_count=1)
+    # order differs across shards; compare as multisets
+    assert sorted(zip(k1.tolist(), c1.tolist())) == sorted(
+        zip(k2.tolist(), c2.tolist())
+    )
+    assert len(k1) > 0
+
+
+def test_sharded_counts_match_python_model(mesh8, dataset):
+    k = 17
+    _, sharded = build_both(dataset, k, mesh8, batches=2)
+    model = collections.Counter()
+    for r in dataset:
+        model.update(kmers_from_ascii_ref(r, k))
+    assert sharded.to_dict() == dict(model)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_other_shard_counts(n_shards, dataset):
+    k = 19
+    mesh = make_mesh(n_shards)
+    single = KmerTable.create(k, capacity=1 << 14)
+    sharded = ShardedKmerTable.create(k, mesh, local_capacity=1 << 12)
+    codes = codes_to_batch([ascii_to_codes(r) for r in dataset[:800]])
+    single = single.ingest_codes(codes)
+    sharded = sharded.ingest_codes(codes)
+    assert sharded.to_dict() == single.to_dict()
+    np.testing.assert_array_equal(sharded.histogram(50), single.histogram(50))
