@@ -96,17 +96,51 @@ class CountingEngine:
                 return True
         return False
 
-    def _ingest_seqs(self, seqs: list[bytes]) -> None:
-        """Encode a group of reads and insert their canonical k-mers."""
-        for batch in _width_batches(seqs):
-            codes = _encode_batch(batch)
-            kmers, valid = encoding.canonical_kmers(codes, self.k)
-            n_valid_bases = int(np.sum(np.asarray(codes) < encoding.CODE_N))
-            n_kmers = int(np.sum(np.asarray(valid)))
-            self.table = self.table.insert_kmers(kmers.reshape(-1))
-            self.stats.n_reads_ingested += len(batch)
-            self.stats.n_bases_ingested += n_valid_bases
-            self.stats.n_kmers_ingested += n_kmers
+    def ingest_code_batch(self, codes: np.ndarray, lens: np.ndarray,
+                          max_reads: int = 0) -> bool:
+        """Consume a pre-encoded [n, width] uint8 batch (native loader
+        path). Returns True when max_reads is reached."""
+        n_chunks = max(self.n_chunks, 1)
+        n = codes.shape[0]
+        if max_reads > 0:
+            n = min(n, max_reads - self.stats.n_reads_read)
+            if n <= 0:
+                return True
+            codes, lens = codes[:n], lens[:n]
+        start = self.stats.n_reads_read
+        self.stats.n_reads_read += n
+        self.stats.n_bases_read += int(lens.sum())
+        if self._buffering:
+            chunk_ids = ((np.arange(start, start + n) // N_READS_PER_BATCH)
+                         % n_chunks)
+            for c in np.unique(chunk_ids):
+                rows = codes[chunk_ids == c]
+                self._chunk_buffers[int(c)].append(rows)
+        else:
+            self._ingest_codes_array(codes)
+        return max_reads > 0 and self.stats.n_reads_read >= max_reads
+
+    def _ingest_codes_array(self, codes: np.ndarray) -> None:
+        """Insert the canonical k-mers of an encoded batch."""
+        if codes.shape[0] == 0:
+            return
+        kmers, valid = encoding.canonical_kmers(codes, self.k)
+        n_valid_bases = int(np.sum(np.asarray(codes) < encoding.CODE_N))
+        n_kmers = int(np.sum(np.asarray(valid)))
+        self.table = self.table.insert_kmers(kmers.reshape(-1))
+        self.stats.n_reads_ingested += codes.shape[0]
+        self.stats.n_bases_ingested += n_valid_bases
+        self.stats.n_kmers_ingested += n_kmers
+
+    def _ingest_seqs(self, seqs: list) -> None:
+        """Encode a group of reads (bytes or pre-encoded arrays) and
+        insert their canonical k-mers."""
+        raw = [s for s in seqs if isinstance(s, (bytes, bytearray))]
+        for batch in _width_batches(raw):
+            self._ingest_codes_array(_encode_batch(batch))
+        for item in seqs:
+            if not isinstance(item, (bytes, bytearray)):
+                self._ingest_codes_array(item)
 
     # -- consolidate ---------------------------------------------------------
 

@@ -271,15 +271,33 @@ def _ingest_all(args, engine: CountingEngine, max_reads: int,
                 max_reads,
             )
         else:
+            from .io import native as native_mod
+
+            use_native = native_mod.available()
+            if use_native:
+                log.info("Using native FASTQ loader")
             for path in args.input:
-                stream = fastq_mod.open_fastq(path)
-                reached = engine.ingest(
-                    fastq_mod.read_fastq_records(
-                        stream, args.validate_every, str(path),
-                        start_record=engine.stats.n_reads_read,
-                    ),
-                    max_reads,
-                )
+                if use_native:
+                    reached = False
+                    with native_mod.NativeFastqReader(
+                        str(path), args.validate_every
+                    ) as reader:
+                        while True:
+                            batch = reader.read_batch(1 << 14)
+                            if batch is None:
+                                break
+                            if engine.ingest_code_batch(*batch, max_reads):
+                                reached = True
+                                break
+                else:
+                    stream = fastq_mod.open_fastq(path)
+                    reached = engine.ingest(
+                        fastq_mod.read_fastq_records(
+                            stream, args.validate_every, str(path),
+                            start_record=engine.stats.n_reads_read,
+                        ),
+                        max_reads,
+                    )
                 if reached:
                     break
         plan = ReadPlan("local", list(args.input), args.paired, max_reads)
