@@ -57,13 +57,23 @@ class CountingEngine:
     n_chunks: int = 0
     histo_max: int = 10000
     initial_capacity: int = 1 << 20
+    n_shards: int = 1  # >1: shard the table over a device mesh
     table: KmerTable = field(init=False)
     stats: IngestStats = field(init=False)
     _chunk_buffers: list[list[bytes]] = field(init=False)
     _stream_buffer: list[bytes] = field(init=False)
 
     def __post_init__(self):
-        self.table = KmerTable.create(self.k, self.initial_capacity)
+        if self.n_shards > 1:
+            from .parallel.sharded_table import ShardedKmerTable, make_mesh
+
+            mesh = make_mesh(self.n_shards)
+            local = max(1 << 10, self.initial_capacity // self.n_shards)
+            # round to power of two
+            local = 1 << (local - 1).bit_length()
+            self.table = ShardedKmerTable.create(self.k, mesh, local)
+        else:
+            self.table = KmerTable.create(self.k, self.initial_capacity)
         self.stats = IngestStats()
         n = max(self.n_chunks, 1)
         self._chunk_buffers = [[] for _ in range(n)]

@@ -82,8 +82,10 @@ def _run(args, argv, start_run) -> int:
     capacity = args.table_capacity or (1 << 22)
     engine = CountingEngine(
         k=k, n_chunks=args.chunks, histo_max=args.histo_max,
-        initial_capacity=capacity,
+        initial_capacity=capacity, n_shards=args.n_shards,
     )
+    if args.n_shards > 1:
+        log.info("Count table sharded over %d devices", args.n_shards)
 
     max_reads = args.max_reads or 0
     ingest_start = time.monotonic()

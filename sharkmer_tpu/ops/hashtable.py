@@ -37,11 +37,13 @@ import numpy as np
 
 from .encoding import KMER_SENTINEL, canonical_kmers
 
-EMPTY = jnp.uint64(KMER_SENTINEL)
-U32_MAX = jnp.uint32(0xFFFF_FFFF)
+# numpy scalars: no device commitment at import time (the backend may
+# not be up yet); they behave identically inside traced code
+EMPTY = np.uint64(KMER_SENTINEL)
+U32_MAX = np.uint32(0xFFFF_FFFF)
 
-_M1 = jnp.uint64(0xFF51_AFD7_ED55_8CCD)
-_M2 = jnp.uint64(0xC4CE_B9FE_1A85_EC53)
+_M1 = np.uint64(0xFF51_AFD7_ED55_8CCD)
+_M2 = np.uint64(0xC4CE_B9FE_1A85_EC53)
 
 
 def _mix64(x: jax.Array) -> jax.Array:

@@ -172,20 +172,67 @@ class ShardedKmerTable:
 
         return histogram
 
+    # -- growth --------------------------------------------------------------
+
+    def _grow(self) -> "ShardedKmerTable":
+        """Double every shard's local capacity. Owner assignment does not
+        depend on capacity, so each shard rehashes locally."""
+        mesh = self.mesh
+        new_local = self.local_capacity * 2
+
+        @jax.jit
+        def grow(keys, counts):
+            def body(keys, counts):
+                ok, oc = keys[0], counts[0]
+                nk = jnp.full((new_local,), jnp.uint64(KMER_SENTINEL))
+                nc = jnp.zeros((new_local,), jnp.uint32)
+                nk, nc = ht._insert_kernel(
+                    nk, nc, ok,
+                    jnp.where(ok == jnp.uint64(KMER_SENTINEL), 0, oc).astype(
+                        jnp.uint32
+                    ),
+                )
+                return nk[None], nc[None]
+
+            return shard_map(
+                body, mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS, None)),
+                out_specs=(P(AXIS, None), P(AXIS, None)),
+                check_vma=False,
+            )(keys, counts)
+
+        keys, counts = grow(self.keys, self.counts)
+        new = replace(self, keys=keys, counts=counts)
+        # kernel closures cache shapes; rebuild for the new capacity
+        new.__dict__.pop("_insert_fn", None)
+        new.__dict__.pop("_lookup_fn", None)
+        return new
+
+    def _maybe_grow(self, incoming: int, max_load: float = 0.70) -> "ShardedKmerTable":
+        table = self
+        # worst-case skew guard: occupancy is measured globally, incoming
+        # assumed evenly routed (the hash makes this hold in practice)
+        while table.n_unique() + incoming > max_load * (
+            table.n_shards * table.local_capacity
+        ):
+            table = table._grow()
+        return table
+
     # -- public API (mirrors KmerTable) -------------------------------------
 
     def insert_kmers(self, kmers) -> "ShardedKmerTable":
         """Insert a flat batch (replicated input, split across shards)."""
         kmers = np.asarray(kmers, dtype=np.uint64).reshape(-1)
-        n = self.n_shards
+        table = self._maybe_grow(len(kmers))
+        n = table.n_shards
         per = -(-len(kmers) // n)
         padded = np.full(n * per, np.uint64(KMER_SENTINEL), dtype=np.uint64)
         padded[: len(kmers)] = kmers
         shards = jax.device_put(
-            padded.reshape(n, per), NamedSharding(self.mesh, P(AXIS, None))
+            padded.reshape(n, per), NamedSharding(table.mesh, P(AXIS, None))
         )
-        keys, counts = self._insert_fn(self.keys, self.counts, shards)
-        return replace(self, keys=keys, counts=counts)
+        keys, counts = table._insert_fn(table.keys, table.counts, shards)
+        return replace(table, keys=keys, counts=counts)
 
     def ingest_codes(self, codes) -> "ShardedKmerTable":
         kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)

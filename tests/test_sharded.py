@@ -95,3 +95,40 @@ def test_other_shard_counts(n_shards, dataset):
     sharded = sharded.ingest_codes(codes)
     assert sharded.to_dict() == single.to_dict()
     np.testing.assert_array_equal(sharded.histogram(50), single.histogram(50))
+
+
+def test_engine_with_sharded_backend(dataset):
+    """CountingEngine(n_shards=4) matches the single-device engine."""
+    from sharkmer_tpu.engine import CountingEngine
+
+    reads = [r.encode() for r in dataset[:1500]]
+    e1 = CountingEngine(k=17, n_chunks=4, histo_max=60,
+                        initial_capacity=1 << 13)
+    e1.ingest(iter(reads))
+    v1 = e1.consolidate()
+
+    e8 = CountingEngine(k=17, n_chunks=4, histo_max=60,
+                        initial_capacity=1 << 13, n_shards=4)
+    e8.ingest(iter(reads))
+    v8 = e8.consolidate()
+
+    assert e1.stats.__dict__ == e8.stats.__dict__
+    for a, b in zip(v1, v8):
+        np.testing.assert_array_equal(a, b)
+    assert e8.table.to_dict() == e1.table.to_dict()
+
+
+def test_sharded_growth(mesh8, dataset):
+    k = 19
+    small = ShardedKmerTable.create(k, mesh8, local_capacity=1 << 6)
+    import collections
+
+    from sharkmer_tpu.ops.encoding import kmers_from_ascii_ref
+
+    model = collections.Counter()
+    for r in dataset[:300]:
+        model.update(kmers_from_ascii_ref(r, k))
+    kmers = np.array(list(model.elements()), np.uint64)
+    small = small.insert_kmers(kmers)
+    assert small.local_capacity > 1 << 6
+    assert small.to_dict() == dict(model)
