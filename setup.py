@@ -6,6 +6,7 @@ setup(
     description="TPU-native k-mer counting and in silico PCR",
     packages=find_packages(exclude=("tests",)),
     package_data={"sharkmer_tpu": ["panels/*.yaml", "panels/README.md"]},
-    entry_points={"console_scripts": ["sharkmer=sharkmer_tpu.main:main"]},
+    entry_points={"console_scripts": ["sharkmer=sharkmer_tpu.main:main",
+        "sharkmer-viewer=sharkmer_tpu.viewer:main"]},
     python_requires=">=3.10",
 )
