@@ -130,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help=argparse.SUPPRESS)
     p.add_argument("--n-shards", type=int, default=1,
                    help="Shard the count table over N devices (1 = single chip)")
+    p.add_argument("--save-table", metavar="PATH",
+                   help="Checkpoint the consolidated count table to PATH "
+                        "(.npz) after Pass 1")
+    p.add_argument("--load-table", metavar="PATH",
+                   help="Skip ingestion; load a count-table checkpoint and "
+                        "run sPCR directly")
     p.add_argument("--cache-dir", help="Override cache directory for remote reads")
     p.add_argument("--no-cache", action="store_true",
                    help="Disable read caching (stream directly)")

@@ -78,7 +78,7 @@ def _run(args, argv, start_run) -> int:
         cache_config = CacheConfig.new(args.cache_dir)
         log.info("Read cache: %s", cache_config.cache_dir)
 
-    # ---- Pass 1: ingest + count -------------------------------------------
+    # ---- Pass 1: ingest + count (or load a checkpoint) ----------------------
     capacity = args.table_capacity or (1 << 22)
     engine = CountingEngine(
         k=k, n_chunks=args.chunks, histo_max=args.histo_max,
@@ -86,6 +86,24 @@ def _run(args, argv, start_run) -> int:
     )
     if args.n_shards > 1:
         log.info("Count table sharded over %d devices", args.n_shards)
+
+    if args.load_table:
+        from .io.checkpoint import load_table
+
+        table, saved_stats = load_table(args.load_table, args.n_shards)
+        if table.k != k:
+            log.info(
+                "Checkpoint was built with k=%d; using it (CLI -k %d ignored)",
+                table.k, k,
+            )
+            k = table.k
+        engine.table = table
+        engine.k = k
+        if saved_stats:
+            for field_name, value in saved_stats.items():
+                setattr(engine.stats, field_name, value)
+        return _run_post_count(args, argv, start_run, engine, sample,
+                               directory, k, pcr_runs, histo_vecs=None)
 
     max_reads = args.max_reads or 0
     ingest_start = time.monotonic()
@@ -145,10 +163,24 @@ def _run(args, argv, start_run) -> int:
                     "be unreliable.", singleton_rate * 100.0,
                 )
 
+    # ---- checkpoint ----------------------------------------------------------
+    if args.save_table:
+        from .io.checkpoint import save_table
+
+        save_table(args.save_table, engine.table, engine.stats)
+
     # ---- Pass 2 reread (read threading, opt-in) ----------------------------
     threading_reads = None
     if args.read_threading and pcr_runs:
         threading_reads = _reread_sequences(read_plan)
+
+    return _run_post_count(args, argv, start_run, engine, sample, directory,
+                           k, pcr_runs, histo_vecs, threading_reads)
+
+
+def _run_post_count(args, argv, start_run, engine, sample, directory, k,
+                    pcr_runs, histo_vecs, threading_reads=None) -> int:
+    n_singleton_kmers = engine.n_singletons(histo_vecs)
 
     # ---- node budget -------------------------------------------------------
     if args.node_budget_global is not None:

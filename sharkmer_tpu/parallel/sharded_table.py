@@ -100,29 +100,29 @@ class ShardedKmerTable:
         n_shards = self.n_shards
 
         @jax.jit
-        def insert(keys, counts, kmers):
+        def insert(keys, counts, kmers, add_counts):
             # kmers: [n_shards, B] sharded — each shard contributes a slice
-            def body(keys, counts, kmers):
+            def body(keys, counts, kmers, add_counts):
                 keys, counts = keys[0], counts[0]
                 me = jax.lax.axis_index(AXIS)
                 # gather the global batch, keep only owned k-mers
                 full = jax.lax.all_gather(kmers[0], AXIS).reshape(-1)
+                full_counts = jax.lax.all_gather(add_counts[0], AXIS).reshape(-1)
                 owner = _owner(full, n_shards)
                 mine = jnp.where(
                     owner == me.astype(jnp.uint64), full,
                     jnp.uint64(KMER_SENTINEL),
                 )
-                keys, counts = _local_insert(
-                    keys, counts, mine, jnp.ones(mine.shape, jnp.uint32)
-                )
+                keys, counts = _local_insert(keys, counts, mine, full_counts)
                 return keys[None], counts[None]
 
             return shard_map(
                 body, mesh=mesh,
-                in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+                in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                          P(AXIS, None)),
                 out_specs=(P(AXIS, None), P(AXIS, None)),
                 check_vma=False,
-            )(keys, counts, kmers)
+            )(keys, counts, kmers, add_counts)
 
         return insert
 
@@ -220,19 +220,26 @@ class ShardedKmerTable:
 
     # -- public API (mirrors KmerTable) -------------------------------------
 
-    def insert_kmers(self, kmers) -> "ShardedKmerTable":
+    def insert_kmers(self, kmers, counts=None) -> "ShardedKmerTable":
         """Insert a flat batch (replicated input, split across shards)."""
         kmers = np.asarray(kmers, dtype=np.uint64).reshape(-1)
+        if counts is None:
+            counts = np.ones(len(kmers), np.uint32)
+        counts = np.asarray(counts, dtype=np.uint32).reshape(-1)
         table = self._maybe_grow(len(kmers))
         n = table.n_shards
         per = -(-len(kmers) // n)
         padded = np.full(n * per, np.uint64(KMER_SENTINEL), dtype=np.uint64)
         padded[: len(kmers)] = kmers
-        shards = jax.device_put(
-            padded.reshape(n, per), NamedSharding(table.mesh, P(AXIS, None))
+        padded_c = np.zeros(n * per, np.uint32)
+        padded_c[: len(kmers)] = counts
+        sharding = NamedSharding(table.mesh, P(AXIS, None))
+        shards = jax.device_put(padded.reshape(n, per), sharding)
+        shard_counts = jax.device_put(padded_c.reshape(n, per), sharding)
+        keys, counts_arr = table._insert_fn(
+            table.keys, table.counts, shards, shard_counts
         )
-        keys, counts = table._insert_fn(table.keys, table.counts, shards)
-        return replace(table, keys=keys, counts=counts)
+        return replace(table, keys=keys, counts=counts_arr)
 
     def ingest_codes(self, codes) -> "ShardedKmerTable":
         kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)

@@ -219,3 +219,30 @@ def test_gene_failure_reason_always_set(tmp_path, fastq_18s):
     r = stats["pcr_results"][0]
     assert r["status"] == "fail"
     assert r["failure_reason"]
+
+
+def test_save_and_load_table(tmp_path, fastq_18s):
+    out1 = tmp_path / "o1"
+    ckpt = tmp_path / "table.npz"
+    rc = run_cli([
+        fastq_18s, "-s", "a", "-k", "21", "-o", str(out1),
+        "--save-table", str(ckpt),
+    ])
+    assert rc == 0 and ckpt.exists()
+
+    # re-run sPCR from the checkpoint only (no input reads at all)
+    out2 = tmp_path / "o2"
+    rc = run_cli([
+        "--load-table", str(ckpt), "-s", "b", "-o", str(out2),
+        "-k", "21", "--pcr-primers", PRIMER_SPEC,
+    ])
+    assert rc == 0
+    fasta = out2 / "b_18s.fasta"
+    assert fasta.exists()
+    seq = "".join(
+        l for l in fasta.read_text().splitlines() if not l.startswith(">")
+    )
+    assert len(seq) == 1808
+    stats = yaml.safe_load((out2 / "b.stats.yaml").read_text())
+    # ingest stats survive the checkpoint round-trip
+    assert stats["n_reads_read"] > 0
