@@ -71,34 +71,36 @@ def main():
         )
 
     @jax.jit
-    def step(keys, counts, codes):
+    def step(keys, counts, n_acc, codes):
         kmers, valid = canonical_kmers(codes, k)
         keys, counts = _insert_kernel(
             keys, counts, kmers.reshape(-1),
             jnp.ones((kmers.size,), jnp.uint32),
         )
-        return keys, counts, jnp.sum(valid)
+        return keys, counts, n_acc + jnp.sum(valid, dtype=jnp.uint64)
 
     table = KmerTable.create(k, capacity=args.capacity)
     keys, counts = table.keys, table.counts
+    n_acc = jnp.zeros((), jnp.uint64)
 
     # warmup / compile on the first batch shape
     codes0 = jnp.asarray(codes_all[: args.batch])
-    keys, counts, _ = step(keys, counts, codes0)
-    jax.block_until_ready(counts)
+    keys, counts, n_acc = step(keys, counts, n_acc, codes0)
+    _ = int(n_acc)
     # reset table state after warmup so timing includes identical work
     table = KmerTable.create(k, capacity=args.capacity)
     keys, counts = table.keys, table.counts
+    n_acc = jnp.zeros((), jnp.uint64)
 
     t0 = time.perf_counter()
-    total_kmers = 0
     for b in range(n_batches):
         codes = jnp.asarray(codes_all[b * args.batch : (b + 1) * args.batch])
-        keys, counts, n_valid = step(keys, counts, codes)
-        total_kmers += int(n_valid)
+        keys, counts, n_acc = step(keys, counts, n_acc, codes)
     histo = _histogram_kernel(counts, 10_000)
-    jax.block_until_ready(histo)
+    total_kmers = int(n_acc)  # forces the whole chain to completion
+    n_unique = int(jnp.sum(histo))
     elapsed = time.perf_counter() - t0
+    assert n_unique > 0
 
     kmers_per_sec = total_kmers / elapsed
     print(json.dumps({

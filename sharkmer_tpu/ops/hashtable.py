@@ -56,14 +56,80 @@ def _mix64(x: jax.Array) -> jax.Array:
     return x
 
 
+# Counts at or above this value are frozen (no further adds). Gives the
+# reference's saturating-add semantics for every reachable count: a
+# count below the threshold plus one batch's worth of duplicates
+# (< 2^29) can never wrap u32, and a count at/above it never changes.
+# Exact u32 arithmetic differs from the reference only in the
+# astronomically unreachable band above 3.76e9 — and even there the
+# histogram output is identical (both fold into the overflow bucket).
+SAT_THRESHOLD = np.uint32(0xE000_0000)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _insert_kernel(keys, counts, kmers, add_counts):
     """Insert a batch of (kmer, count) pairs. kmers==SENTINEL are skipped.
 
-    The batch may contain duplicates; it is aggregated first so the
-    probe rounds see each unique k-mer at most once (two distinct
-    pending k-mers can then never both match one slot in a round,
-    which makes the saturating ``set`` below race-free).
+    Sort-free design: the batch goes straight into claim/probe rounds.
+    Duplicate k-mers in the batch are handled by the scatter-add
+    itself (duplicate indices accumulate), and duplicate *claims* of
+    one slot all write the same key, so no aggregation pass is needed.
+    Each round is a gather + two masked scatters over the pending
+    lanes; the while_loop runs until every lane has landed (bounded by
+    the longest probe chain, small at <=0.7 load).
+    """
+    capacity = keys.shape[0]
+    mask = jnp.uint64(capacity - 1)
+    amounts = add_counts.astype(jnp.uint32)
+
+    slot = (_mix64(kmers) & mask).astype(jnp.int64)
+    pending = kmers != EMPTY
+
+    def cond(state):
+        _, _, _, pending = state
+        return jnp.any(pending)
+
+    def body(state):
+        keys, counts, slot, pending = state
+        cur = keys[slot]
+        hit = pending & (cur == kmers)
+        frozen = counts[slot] >= SAT_THRESHOLD
+        add_amt = jnp.where(hit & ~frozen, amounts, 0)
+        counts = counts.at[jnp.where(hit, slot, capacity)].add(
+            add_amt, mode="drop"
+        )
+        pending = pending & ~hit
+
+        empty = pending & (cur == EMPTY)
+        keys = keys.at[jnp.where(empty, slot, capacity)].set(
+            kmers, mode="drop"
+        )
+        claimed = pending & (keys[slot] == kmers)
+        frozen = counts[slot] >= SAT_THRESHOLD
+        add_amt = jnp.where(claimed & ~frozen, amounts, 0)
+        counts = counts.at[jnp.where(claimed, slot, capacity)].add(
+            add_amt, mode="drop"
+        )
+        pending = pending & ~claimed
+
+        slot = jnp.where(pending, (slot + 1) & jnp.int64(capacity - 1), slot)
+        return keys, counts, slot, pending
+
+    keys, counts, _, _ = jax.lax.while_loop(
+        cond, body, (keys, counts, slot, pending)
+    )
+    return keys, counts
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _insert_kernel_exact(keys, counts, kmers, add_counts):
+    """Aggregating insert with exact u32 saturating-add semantics.
+
+    Sorts the batch and run-length-aggregates so each unique k-mer
+    appears once, then uses saturating read-modify-write instead of
+    scatter-add. Slower than ``_insert_kernel`` (the sort dominates);
+    kept for strict-parity verification and as the differential oracle
+    in tests.
     """
     capacity = keys.shape[0]
     mask = jnp.uint64(capacity - 1)
