@@ -297,18 +297,38 @@ files are prefixed with the panel name (e.g., cnidaria_18S).
 Inline --pcr-primers gene names are used as-is.
 """
 
-_COMPLETIONS_BASH = """\
-_sharkmer() {
-    local cur="${COMP_WORDS[COMP_CWORD]}"
-    local opts="--ena --sample --outdir --pcr-panel --pcr-panel-file \
---pcr-primers --list-panels --export-panel --help-pcr -k --chunks \
---histo-max --threads --max-reads --min-kmer-count --validate-every \
---verbose --quiet --color --cite --completions --dump-graph \
---validate-panels --dry-run --cache-dir --no-cache --clear-cache"
-    COMPREPLY=( $(compgen -W "${opts}" -- "${cur}") )
-}
+_ALL_OPTS = (
+    "--ena --sample --outdir --pcr-panel --pcr-panel-file --pcr-primers "
+    "--list-panels --export-panel --help-pcr -k --chunks --histo-max "
+    "--threads --max-reads --min-kmer-count --validate-every --verbose "
+    "--quiet --color --cite --completions --dump-graph --validate-panels "
+    "--dry-run --n-shards --save-table --load-table --cache-dir --no-cache "
+    "--clear-cache --version"
+)
+
+_COMPLETIONS = {
+    "bash": f"""\
+_sharkmer() {{
+    local cur="${{COMP_WORDS[COMP_CWORD]}}"
+    COMPREPLY=( $(compgen -W "{_ALL_OPTS}" -- "$cur") )
+}}
 complete -o default -F _sharkmer sharkmer
-"""
+""",
+    "zsh": f"""\
+#compdef sharkmer
+_sharkmer() {{
+    _arguments '*: :_files'
+    _values 'options' {" ".join(o for o in _ALL_OPTS.split())}
+}}
+compdef _sharkmer sharkmer
+""",
+    "fish": "\n".join(
+        f"complete -c sharkmer -l {o.lstrip('-')}"
+        for o in _ALL_OPTS.split()
+        if o.startswith("--")
+    )
+    + "\n",
+}
 
 
 def handle_early_exits(args) -> None:
@@ -320,7 +340,7 @@ def handle_early_exits(args) -> None:
         print("Cache cleared.")
         sys.exit(0)
     if args.completions:
-        print(_COMPLETIONS_BASH)
+        print(_COMPLETIONS[args.completions])
         sys.exit(0)
     if args.cite:
         print(CITATION)
