@@ -41,6 +41,8 @@ def main():
     parser.add_argument("--genome-mbp", type=float, default=20.0)
     parser.add_argument("--batch", type=int, default=1 << 17)
     parser.add_argument("--capacity", type=int, default=1 << 26)
+    parser.add_argument("--backend", choices=["sorted", "hash"],
+                        default="sorted")
     parser.add_argument("--quick", action="store_true",
                         help="small shapes for smoke testing")
     args = parser.parse_args()
@@ -60,6 +62,8 @@ def main():
     )
 
     k = args.k
+    if args.backend == "sorted":
+        return run_sorted(args)
     codes_all = make_reads_codes(args.reads, args.read_len, args.genome_mbp)
     n_batches = -(-args.reads // args.batch)
 
@@ -98,6 +102,77 @@ def main():
         keys, counts, n_acc = step(keys, counts, n_acc, codes)
     histo = _histogram_kernel(counts, 10_000)
     total_kmers = int(n_acc)  # forces the whole chain to completion
+    n_unique = int(jnp.sum(histo))
+    elapsed = time.perf_counter() - t0
+    assert n_unique > 0
+
+    kmers_per_sec = total_kmers / elapsed
+    print(json.dumps({
+        "metric": "kmers_per_sec_per_chip",
+        "value": round(kmers_per_sec),
+        "unit": "kmer/s",
+        "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
+    }))
+
+
+def run_sorted(args):
+    """Sorted-run backend benchmark: per-batch sort/RLE aggregation, then
+    a pairwise merge tree — all static shapes, one host sync at the end."""
+    import jax
+    import jax.numpy as jnp
+
+    from sharkmer_tpu.ops.encoding import canonical_kmers
+    from sharkmer_tpu.ops.hashtable import _histogram_kernel
+    from sharkmer_tpu.ops.sorted_store import _aggregate_kernel
+
+    k = args.k
+    codes_all = make_reads_codes(args.reads, args.read_len, args.genome_mbp)
+    n_batches = -(-args.reads // args.batch)
+    pad = n_batches * args.batch - args.reads
+    if pad:
+        codes_all = np.concatenate(
+            [codes_all, np.full((pad, args.read_len), 5, np.uint8)]
+        )
+
+    @jax.jit
+    def batch_agg(codes, n_acc):
+        kmers, valid = canonical_kmers(codes, k)
+        uk, uc, _ = _aggregate_kernel(
+            kmers.reshape(-1), jnp.ones((kmers.size,), jnp.uint32)
+        )
+        return uk, uc, n_acc + jnp.sum(valid, dtype=jnp.uint64)
+
+    @jax.jit
+    def merge2(k1, c1, k2, c2):
+        uk, uc, _ = _aggregate_kernel(
+            jnp.concatenate([k1, k2]), jnp.concatenate([c1, c2])
+        )
+        return uk, uc
+
+    # warmup/compile on one batch + one self-merge
+    n_acc = jnp.zeros((), jnp.uint64)
+    uk, uc, n_acc = batch_agg(jnp.asarray(codes_all[: args.batch]), n_acc)
+    _ = merge2(uk, uc, uk, uc)
+    _ = int(n_acc)
+
+    t0 = time.perf_counter()
+    n_acc = jnp.zeros((), jnp.uint64)
+    runs = []
+    for b in range(n_batches):
+        codes = jnp.asarray(codes_all[b * args.batch : (b + 1) * args.batch])
+        uk, uc, n_acc = batch_agg(codes, n_acc)
+        runs.append((uk, uc))
+    # pairwise merge tree (compiles once per level size)
+    while len(runs) > 1:
+        nxt = []
+        for i in range(0, len(runs) - 1, 2):
+            nxt.append(merge2(*runs[i], *runs[i + 1]))
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    final_k, final_c = runs[0]
+    histo = _histogram_kernel(final_c, 10_000)
+    total_kmers = int(n_acc)
     n_unique = int(jnp.sum(histo))
     elapsed = time.perf_counter() - t0
     assert n_unique > 0

@@ -130,6 +130,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help=argparse.SUPPRESS)
     p.add_argument("--n-shards", type=int, default=1,
                    help="Shard the count table over N devices (1 = single chip)")
+    p.add_argument("--backend", choices=["sorted", "hash"], default="sorted",
+                   help="Count-table backend: sorted runs (TPU-fast) or "
+                        "open-addressed hash table")
     p.add_argument("--save-table", metavar="PATH",
                    help="Checkpoint the consolidated count table to PATH "
                         "(.npz) after Pass 1")

@@ -58,6 +58,7 @@ class CountingEngine:
     histo_max: int = 10000
     initial_capacity: int = 1 << 20
     n_shards: int = 1  # >1: shard the table over a device mesh
+    backend: str = "sorted"  # "sorted" (sort/scan runs) | "hash" (probe table)
     table: KmerTable = field(init=False)
     stats: IngestStats = field(init=False)
     _chunk_buffers: list[list[bytes]] = field(init=False)
@@ -72,8 +73,12 @@ class CountingEngine:
             # round to power of two
             local = 1 << (local - 1).bit_length()
             self.table = ShardedKmerTable.create(self.k, mesh, local)
-        else:
+        elif self.backend == "hash":
             self.table = KmerTable.create(self.k, self.initial_capacity)
+        else:
+            from .ops.sorted_store import SortedKmerStore
+
+            self.table = SortedKmerStore.create(self.k)
         self.stats = IngestStats()
         n = max(self.n_chunks, 1)
         self._chunk_buffers = [[] for _ in range(n)]

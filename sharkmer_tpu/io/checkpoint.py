@@ -31,8 +31,12 @@ FORMAT_VERSION = 1
 
 
 def save_table(path: str, table, stats=None) -> None:
-    """Save a KmerTable or ShardedKmerTable (+ ingest stats) to .npz."""
-    keys = np.asarray(table.keys).reshape(-1)
+    """Save any count backend (hash / sorted / sharded) to .npz."""
+    if hasattr(table, "flush"):  # SortedKmerStore
+        table.flush()
+        keys = np.asarray(table.kmers).reshape(-1)
+    else:
+        keys = np.asarray(table.keys).reshape(-1)
     counts = np.asarray(table.counts).reshape(-1)
     meta = {
         "format_version": FORMAT_VERSION,
@@ -48,7 +52,8 @@ def save_table(path: str, table, stats=None) -> None:
     log.info("Saved count table to %s (%d unique kmers)", path, occ)
 
 
-def load_table(path: str, n_shards: int = 1, capacity: int | None = None):
+def load_table(path: str, n_shards: int = 1, capacity: int | None = None,
+               backend: str = "sorted"):
     """Load a checkpoint into a (possibly sharded) table.
 
     Returns (table, stats_dict | None). Keys are re-inserted rather
@@ -77,8 +82,12 @@ def load_table(path: str, n_shards: int = 1, capacity: int | None = None):
         mesh = make_mesh(n_shards)
         local = 1 << max(10, (capacity // n_shards - 1).bit_length())
         table = ShardedKmerTable.create(k, mesh, local)
-    else:
+    elif backend == "hash":
         table = KmerTable.create(k, capacity)
+    else:
+        from ..ops.sorted_store import SortedKmerStore
+
+        table = SortedKmerStore.create(k)
 
     # bulk re-insert in slabs to bound peak memory
     step = 1 << 22

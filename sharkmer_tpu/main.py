@@ -83,6 +83,7 @@ def _run(args, argv, start_run) -> int:
     engine = CountingEngine(
         k=k, n_chunks=args.chunks, histo_max=args.histo_max,
         initial_capacity=capacity, n_shards=args.n_shards,
+        backend=args.backend,
     )
     if args.n_shards > 1:
         log.info("Count table sharded over %d devices", args.n_shards)
@@ -90,7 +91,8 @@ def _run(args, argv, start_run) -> int:
     if args.load_table:
         from .io.checkpoint import load_table
 
-        table, saved_stats = load_table(args.load_table, args.n_shards)
+        table, saved_stats = load_table(args.load_table, args.n_shards,
+                                        backend=args.backend)
         if table.k != k:
             log.info(
                 "Checkpoint was built with k=%d; using it (CLI -k %d ignored)",

@@ -1,0 +1,89 @@
+"""Sorted-run store tests: differential vs the hash table and a dict model."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from sharkmer_tpu.ops import KmerTable, ascii_to_codes, codes_to_batch
+from sharkmer_tpu.ops.encoding import kmers_from_ascii_ref, seq_to_kmer
+from sharkmer_tpu.ops.sorted_store import SortedKmerStore
+
+from util import random_genome, reads_from_genome
+
+
+def test_basic_insert_lookup():
+    s = SortedKmerStore.create(5)
+    s.insert_kmers(np.array([42], np.uint64), np.array([3], np.uint32))
+    assert s.to_dict() == {42: 3}
+    s.insert_kmers(np.array([42, 7, 7], np.uint64))
+    assert s.to_dict() == {42: 4, 7: 2}
+    assert s.lookup_directional(np.array([42], np.uint64)).tolist() == [4]
+
+
+def test_saturation_exact():
+    s = SortedKmerStore.create(5)
+    s.insert_kmers(np.array([1], np.uint64), np.array([0xFFFFFFFF], np.uint32))
+    s.insert_kmers(np.array([1], np.uint64), np.array([5], np.uint32))
+    assert s.to_dict() == {1: 0xFFFFFFFF}
+
+
+def test_differential_vs_hashtable_and_dict():
+    rng = np.random.default_rng(11)
+    genome = random_genome(4000, seed=11, n_rate=0.01)
+    reads = reads_from_genome(genome, 2500, 100, seed=12)
+    k = 21
+
+    store = SortedKmerStore.create(k)
+    table = KmerTable.create(k, capacity=1 << 14)
+    model = collections.Counter()
+    step = 300  # uneven batches exercise the LSM merge policy
+    for i in range(0, len(reads), step):
+        chunk = reads[i : i + step]
+        codes = codes_to_batch([ascii_to_codes(r) for r in chunk])
+        store.ingest_codes(codes)
+        table = table.ingest_codes(codes)
+        for r in chunk:
+            model.update(kmers_from_ascii_ref(r, k))
+
+    assert store.to_dict() == dict(model)
+    assert store.to_dict() == table.to_dict()
+    assert store.n_unique() == len(model)
+    assert store.n_total() == sum(model.values())
+    np.testing.assert_array_equal(store.histogram(100), table.histogram(100))
+
+    queries = np.concatenate([
+        np.array(list(model)[:400], np.uint64),
+        rng.integers(0, 1 << 42, size=400, dtype=np.uint64),
+    ])
+    np.testing.assert_array_equal(
+        store.lookup_directional(queries), table.lookup_directional(queries)
+    )
+
+
+def test_prefix_scan_matches_hashtable():
+    genome = random_genome(3000, seed=21)
+    reads = reads_from_genome(genome, 800, 90, seed=22)
+    k = 15
+    store = SortedKmerStore.create(k)
+    table = KmerTable.create(k, capacity=1 << 13)
+    codes = codes_to_batch([ascii_to_codes(r) for r in reads])
+    store.ingest_codes(codes)
+    table = table.ingest_codes(codes)
+
+    oligo = np.array([seq_to_kmer(genome[100:109])], np.uint64)
+    k1, c1 = table.prefix_scan(oligo, 9, min_count=1)
+    k2, c2 = store.prefix_scan(oligo, 9, min_count=1)
+    assert sorted(zip(k1.tolist(), c1.tolist())) == sorted(
+        zip(k2.tolist(), c2.tolist())
+    )
+    assert len(k2) > 0
+
+
+def test_pending_runs_flush_on_query():
+    s = SortedKmerStore.create(7)
+    for i in range(5):
+        s.insert_kmers(np.arange(i * 10, i * 10 + 10, dtype=np.uint64))
+    # queries must see everything regardless of pending state
+    assert s.n_unique() == 50
+    assert s.n_total() == 50
