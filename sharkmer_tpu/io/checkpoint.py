@@ -41,7 +41,7 @@ def save_table(path: str, table, stats=None) -> None:
     meta = {
         "format_version": FORMAT_VERSION,
         "k": table.k,
-        "sharded": keys.ndim > 1 or np.asarray(table.keys).ndim > 1,
+        "backend": type(table).__name__,
     }
     if stats is not None:
         meta["stats"] = stats.__dict__
