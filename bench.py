@@ -39,7 +39,7 @@ def main():
     parser.add_argument("--read-len", type=int, default=150)
     parser.add_argument("--k", type=int, default=21)
     parser.add_argument("--genome-mbp", type=float, default=20.0)
-    parser.add_argument("--batch", type=int, default=1 << 17)
+    parser.add_argument("--batch", type=int, default=1 << 20)
     parser.add_argument("--capacity", type=int, default=1 << 26)
     parser.add_argument("--backend", choices=["sorted", "hash"],
                         default="sorted")
@@ -149,10 +149,12 @@ def run_sorted(args):
         )
         return uk, uc
 
-    # warmup/compile on one batch + one self-merge
+    n_batches_total = -(-args.reads // args.batch)
+    # warmup/compile on one batch (+ one self-merge only if needed)
     n_acc = jnp.zeros((), jnp.uint64)
     uk, uc, n_acc = batch_agg(jnp.asarray(codes_all[: args.batch]), n_acc)
-    _ = merge2(uk, uc, uk, uc)
+    if n_batches_total > 1:
+        _ = merge2(uk, uc, uk, uc)
     _ = int(n_acc)
 
     t0 = time.perf_counter()

@@ -66,13 +66,20 @@ class CountingEngine:
 
     def __post_init__(self):
         if self.n_shards > 1:
-            from .parallel.sharded_table import ShardedKmerTable, make_mesh
+            from .parallel.sharded_table import make_mesh
 
             mesh = make_mesh(self.n_shards)
             local = max(1 << 10, self.initial_capacity // self.n_shards)
             # round to power of two
             local = 1 << (local - 1).bit_length()
-            self.table = ShardedKmerTable.create(self.k, mesh, local)
+            if self.backend == "hash":
+                from .parallel.sharded_table import ShardedKmerTable
+
+                self.table = ShardedKmerTable.create(self.k, mesh, local)
+            else:
+                from .parallel.sorted_sharded import ShardedSortedStore
+
+                self.table = ShardedSortedStore.create(self.k, mesh, local)
         elif self.backend == "hash":
             self.table = KmerTable.create(self.k, self.initial_capacity)
         else:

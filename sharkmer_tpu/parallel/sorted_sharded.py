@@ -1,0 +1,325 @@
+"""Mesh-sharded sorted-run count store.
+
+The multi-chip variant of ops.sorted_store: the k-mer keyspace is
+partitioned by the high bits of the SplitMix64 hash; each shard keeps
+its own sorted master run of owned k-mers. Everything runs inside
+shard_map:
+
+* **insert**: all_gather the batch, mask to owned k-mers, shard-local
+  sort/RLE aggregate, slice the (front-compacted) result to a bounded
+  pending-run width (4x the fair share — the hash keeps shards
+  balanced; an overflow check guards the tail risk).
+* **flush**: concatenate master + pending runs per shard, aggregate,
+  slice back to capacity (occupancy-checked, grow by doubling).
+* **histogram**: local clipped bincount + psum.
+* **lookup**: no owner masking needed — a k-mer exists only on its
+  owning shard, every other shard contributes 0, and psum combines.
+
+Bit-identical to the single-device store by construction (same
+aggregation arithmetic, ownership only partitions the keyspace).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import hashtable as ht
+from ..ops.encoding import KMER_SENTINEL, canonical_kmers
+from ..ops.sorted_store import (
+    _aggregate_kernel,
+    _lookup_sorted_kernel,
+    _prefix_scan_sorted_kernel,
+)
+from .sharded_table import AXIS, _owner, make_mesh  # noqa: F401
+
+EMPTY = np.uint64(KMER_SENTINEL)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(6, (int(n) - 1).bit_length())
+
+
+@functools.lru_cache(maxsize=64)
+def _make_batch_agg(mesh: Mesh, n_shards: int, out_width: int):
+    @jax.jit
+    def agg(kmers, counts):
+        def body(kmers, counts):
+            me = jax.lax.axis_index(AXIS)
+            full_k = jax.lax.all_gather(kmers[0], AXIS).reshape(-1)
+            full_c = jax.lax.all_gather(counts[0], AXIS).reshape(-1)
+            owner = _owner(full_k, n_shards)
+            mine = jnp.where(
+                owner == me.astype(jnp.uint64), full_k, jnp.uint64(EMPTY)
+            )
+            uk, uc, nu = _aggregate_kernel(mine, full_c)
+            # owned uniques are front-compacted; bound to out_width
+            return (
+                jax.lax.slice(uk, (0,), (out_width,))[None],
+                jax.lax.slice(uc, (0,), (out_width,))[None],
+                jax.lax.all_gather(nu[None], AXIS),
+            )
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None), P(AXIS, None), P()),
+            check_vma=False,
+        )(kmers, counts)
+
+    return agg
+
+
+@functools.lru_cache(maxsize=64)
+def _make_merge(mesh: Mesh, widths: tuple, cap: int):
+    n_args = 2 * len(widths)
+
+    @jax.jit
+    def merge(kmers, counts, *runs):
+        def body(kmers, counts, *runs):
+            parts_k = [kmers[0]]
+            parts_c = [counts[0]]
+            for i in range(0, len(runs), 2):
+                parts_k.append(runs[i][0])
+                parts_c.append(runs[i + 1][0])
+            all_k = jnp.concatenate(parts_k)
+            all_c = jnp.concatenate(parts_c)
+            mk, mc, nu = _aggregate_kernel(all_k, all_c)
+            mk = jax.lax.slice(mk, (0,), (cap,))
+            mc = jax.lax.slice(mc, (0,), (cap,))
+            return mk[None], mc[None], jax.lax.all_gather(nu[None], AXIS)
+
+        spec = tuple([P(AXIS, None)] * (2 + n_args))
+        return shard_map(
+            body, mesh=mesh, in_specs=spec,
+            out_specs=(P(AXIS, None), P(AXIS, None), P()),
+            check_vma=False,
+        )(kmers, counts, *runs)
+
+    return merge
+
+
+@functools.lru_cache(maxsize=64)
+def _make_lookup(mesh: Mesh, k: int):
+    @jax.jit
+    def lookup(kmers, counts, queries):
+        def body(kmers, counts, queries):
+            rc = ht._revcomp_kernel(queries, k)
+            canon = jnp.minimum(queries, rc)
+            local = _lookup_sorted_kernel(
+                kmers[0], counts[0], kmers.shape[1], canon
+            )
+            return jax.lax.psum(local, AXIS)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P()),
+            out_specs=P(), check_vma=False,
+        )(kmers, counts, queries)
+
+    return lookup
+
+
+@functools.lru_cache(maxsize=64)
+def _make_histogram(mesh: Mesh, histo_max: int):
+    @jax.jit
+    def histogram(counts):
+        def body(counts):
+            return jax.lax.psum(
+                ht._histogram_kernel(counts[0], histo_max), AXIS
+            )
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(P(AXIS, None),), out_specs=P(),
+            check_vma=False,
+        )(counts)
+
+    return histogram
+
+
+@dataclass
+class ShardedSortedStore:
+    k: int
+    mesh: Mesh
+    kmers: jax.Array  # [S, cap] sorted-per-shard, sentinel padded
+    counts: jax.Array  # [S, cap]
+    pending: list = field(default_factory=list)  # [(uk [S,B], uc [S,B]), ...]
+    pending_width: int = 0
+
+    @staticmethod
+    def create(k: int, mesh: Mesh, local_capacity: int = 1 << 14,
+               **_ignored) -> "ShardedSortedStore":
+        local_capacity = _next_pow2(local_capacity)
+        n = mesh.devices.size
+        sharding = NamedSharding(mesh, P(AXIS, None))
+        return ShardedSortedStore(
+            k=k,
+            mesh=mesh,
+            kmers=jax.device_put(
+                jnp.full((n, local_capacity), jnp.uint64(EMPTY)), sharding
+            ),
+            counts=jax.device_put(
+                jnp.zeros((n, local_capacity), jnp.uint32), sharding
+            ),
+        )
+
+    @property
+    def n_shards(self) -> int:
+        return self.kmers.shape[0]
+
+    @property
+    def local_capacity(self) -> int:
+        return self.kmers.shape[1]
+
+    # -- insert ---------------------------------------------------------------
+
+    def insert_kmers(self, kmers, counts=None) -> "ShardedSortedStore":
+        kmers = np.asarray(kmers, dtype=np.uint64).reshape(-1)
+        if counts is None:
+            counts_np = np.ones(len(kmers), np.uint32)
+        else:
+            counts_np = np.asarray(counts, dtype=np.uint32).reshape(-1)
+        S = self.n_shards
+        per = max(64, -(-len(kmers) // S))
+        pk = np.full(S * per, EMPTY, dtype=np.uint64)
+        pk[: len(kmers)] = kmers
+        pc = np.zeros(S * per, np.uint32)
+        pc[: len(counts_np)] = counts_np
+        sharding = NamedSharding(self.mesh, P(AXIS, None))
+        dk = jax.device_put(pk.reshape(S, per), sharding)
+        dc = jax.device_put(pc.reshape(S, per), sharding)
+
+        out_width = min(S * per, _next_pow2(4 * per))
+        uk, uc, nus = _make_batch_agg(self.mesh, S, out_width)(dk, dc)
+        if int(np.max(np.asarray(nus))) > out_width:
+            raise RuntimeError(
+                "shard ownership skew overflowed the pending-run width; "
+                "increase the batch width margin"
+            )
+        self.pending.append((uk, uc))
+        self.pending_width += out_width
+        if self.pending_width >= max(1 << 14, self.local_capacity // 2):
+            self.flush()
+        return self
+
+    def ingest_codes(self, codes) -> "ShardedSortedStore":
+        kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)
+        return self.insert_kmers(np.asarray(kmers).reshape(-1))
+
+    # -- flush / grow -----------------------------------------------------------
+
+    def flush(self) -> "ShardedSortedStore":
+        if not self.pending:
+            return self
+        while True:
+            flat_runs = []
+            widths = []
+            for uk, uc in self.pending:
+                flat_runs.extend([uk, uc])
+                widths.append(uk.shape[1])
+            cap = self.local_capacity
+            mk, mc, nus = _make_merge(self.mesh, tuple(widths), cap)(
+                self.kmers, self.counts, *flat_runs
+            )
+            max_n = int(np.max(np.asarray(nus)))
+            if max_n < cap:
+                self.kmers, self.counts = mk, mc
+                self.pending = []
+                self.pending_width = 0
+                return self
+            # a shard overflowed its capacity: grow the masters and retry
+            self._grow()
+
+    def _grow(self) -> None:
+        cap = self.local_capacity * 2
+        sharding = NamedSharding(self.mesh, P(AXIS, None))
+        pad_k = jax.device_put(
+            jnp.full((self.n_shards, cap - self.local_capacity),
+                     jnp.uint64(EMPTY)),
+            sharding,
+        )
+        pad_c = jax.device_put(
+            jnp.zeros((self.n_shards, cap - self.local_capacity), jnp.uint32),
+            sharding,
+        )
+        self.kmers = jnp.concatenate([self.kmers, pad_k], axis=1)
+        self.counts = jnp.concatenate([self.counts, pad_c], axis=1)
+
+    # -- queries -----------------------------------------------------------------
+
+    def _flushed(self) -> "ShardedSortedStore":
+        if self.pending:
+            self.flush()
+        return self
+
+    def lookup_directional(self, queries) -> np.ndarray:
+        s = self._flushed()
+        q = np.asarray(queries, dtype=np.uint64).reshape(-1)
+        nq = q.shape[0]
+        if nq == 0:
+            return np.zeros(0, np.uint32)
+        padded = _next_pow2(nq)
+        qp = np.full(padded, EMPTY, dtype=np.uint64)
+        qp[:nq] = q
+        out = _make_lookup(self.mesh, self.k)(s.kmers, s.counts, jnp.asarray(qp))
+        return np.asarray(out)[:nq]
+
+    def histogram(self, histo_max: int) -> np.ndarray:
+        s = self._flushed()
+        return np.asarray(_make_histogram(self.mesh, histo_max)(s.counts))
+
+    def n_unique(self) -> int:
+        s = self._flushed()
+        return int(jnp.sum(s.kmers != jnp.uint64(EMPTY)))
+
+    def n_total(self) -> int:
+        s = self._flushed()
+        return int(jnp.sum(s.counts.astype(jnp.uint64)))
+
+    def max_count(self) -> int:
+        s = self._flushed()
+        return int(jnp.max(s.counts))
+
+    def prefix_scan(self, oligos, oligo_len: int, min_count: int,
+                    max_out: int = 1 << 16):
+        from ..ops.encoding import revcomp_kmer as _rc
+
+        if oligo_len <= 0 or oligo_len >= self.k:
+            raise ValueError(
+                f"oligo length {oligo_len} out of range for k={self.k}"
+            )
+        s = self._flushed()
+        oligos = np.asarray(oligos, dtype=np.uint64)
+        rc = np.array(
+            sorted({_rc(int(o), oligo_len) for o in oligos}), dtype=np.uint64
+        )
+        fwd = np.sort(oligos)
+        all_k, all_c = [], []
+        for i in range(s.n_shards):
+            keys_i = s.kmers[i]
+            counts_i = s.counts[i]
+            rc_table = ht._revcomp_kernel(keys_i, s.k)
+            kk, cc, nm = _prefix_scan_sorted_kernel(
+                keys_i, counts_i, rc_table, jnp.asarray(fwd), jnp.asarray(rc),
+                2 * (s.k - oligo_len), 2 * oligo_len, max_out,
+                jnp.uint32(min_count),
+            )
+            nm = int(nm)
+            if nm > max_out:
+                raise RuntimeError("primer scan overflow")
+            all_k.append(np.asarray(kk[:nm]))
+            all_c.append(np.asarray(cc[:nm]))
+        return np.concatenate(all_k), np.concatenate(all_c)
+
+    def to_dict(self) -> dict[int, int]:
+        s = self._flushed()
+        keys = np.asarray(s.kmers).reshape(-1)
+        counts = np.asarray(s.counts).reshape(-1)
+        occ = keys != EMPTY
+        return dict(zip(keys[occ].tolist(), counts[occ].tolist()))

@@ -87,3 +87,74 @@ def test_pending_runs_flush_on_query():
     # queries must see everything regardless of pending state
     assert s.n_unique() == 50
     assert s.n_total() == 50
+
+
+def test_sharded_sorted_matches_single():
+    import jax
+
+    from sharkmer_tpu.parallel.sorted_sharded import ShardedSortedStore
+    from sharkmer_tpu.parallel.sharded_table import make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    genome = random_genome(4000, seed=31, n_rate=0.005)
+    reads = reads_from_genome(genome, 1500, 100, seed=32)
+    k = 21
+
+    single = SortedKmerStore.create(k)
+    sharded = ShardedSortedStore.create(k, mesh, local_capacity=1 << 12)
+    step = 400
+    for i in range(0, len(reads), step):
+        codes = codes_to_batch([ascii_to_codes(r) for r in reads[i : i + step]])
+        single.ingest_codes(codes)
+        sharded.ingest_codes(codes)
+
+    assert sharded.to_dict() == single.to_dict()
+    assert sharded.n_unique() == single.n_unique()
+    assert sharded.n_total() == single.n_total()
+    np.testing.assert_array_equal(sharded.histogram(100), single.histogram(100))
+
+    rng = np.random.default_rng(4)
+    queries = np.concatenate([
+        np.array(list(single.to_dict().keys())[:300], np.uint64),
+        rng.integers(0, 1 << 42, size=300, dtype=np.uint64),
+    ])
+    np.testing.assert_array_equal(
+        sharded.lookup_directional(queries), single.lookup_directional(queries)
+    )
+
+
+def test_sharded_sorted_growth():
+    import jax
+
+    from sharkmer_tpu.parallel.sorted_sharded import ShardedSortedStore
+    from sharkmer_tpu.parallel.sharded_table import make_mesh
+
+    mesh = make_mesh(4)
+    store = ShardedSortedStore.create(19, mesh, local_capacity=1 << 6)
+    rng = np.random.default_rng(5)
+    kmers = rng.integers(0, 1 << 38, size=5000, dtype=np.uint64)
+    store.insert_kmers(kmers)
+    import collections
+
+    model = collections.Counter(kmers.tolist())
+    assert store.to_dict() == dict(model)
+    assert store.local_capacity > 1 << 6
+
+
+def test_engine_sharded_sorted_backend():
+    from sharkmer_tpu.engine import CountingEngine
+
+    genome = random_genome(2000, seed=41)
+    reads = [r.encode() for r in reads_from_genome(genome, 1000, 90, seed=42)]
+    e1 = CountingEngine(k=17, n_chunks=3, histo_max=60, initial_capacity=1 << 12)
+    e1.ingest(iter(reads))
+    v1 = e1.consolidate()
+    e8 = CountingEngine(k=17, n_chunks=3, histo_max=60,
+                        initial_capacity=1 << 12, n_shards=8)
+    e8.ingest(iter(reads))
+    v8 = e8.consolidate()
+    assert e1.stats.__dict__ == e8.stats.__dict__
+    for a, b in zip(v1, v8):
+        np.testing.assert_array_equal(a, b)
+    assert e8.table.to_dict() == e1.table.to_dict()
