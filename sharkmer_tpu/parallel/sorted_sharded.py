@@ -323,3 +323,43 @@ class ShardedSortedStore:
         counts = np.asarray(s.counts).reshape(-1)
         occ = keys != EMPTY
         return dict(zip(keys[occ].tolist(), counts[occ].tolist()))
+
+
+def make_sorted_ingest_step(mesh: Mesh, k: int, histo_max: int, cap: int):
+    """Fused multi-chip ingest step on the sorted backend: data-parallel
+    encode -> owner-route -> shard-local sort/RLE merge into the master
+    run -> psum'd spectrum. One jitted program covering both
+    parallelism axes (reads and keyspace).
+
+    step(kmers, counts, codes) -> (kmers, counts, histo) where
+      kmers/counts: [S, cap] sharded on axis 0,
+      codes: uint8 [S, reads_per_shard, width] sharded on axis 0.
+    """
+    n_shards = mesh.devices.size
+
+    def body(master_k, master_c, codes):
+        me = jax.lax.axis_index(AXIS)
+        kmers, _ = canonical_kmers(codes[0], k)  # dp: local read slice
+        local = kmers.reshape(-1)
+        full = jax.lax.all_gather(local, AXIS).reshape(-1)
+        owner = _owner(full, n_shards)
+        mine = jnp.where(
+            owner == me.astype(jnp.uint64), full, jnp.uint64(EMPTY)
+        )
+        all_k = jnp.concatenate([master_k[0], mine])
+        all_c = jnp.concatenate(
+            [master_c[0], jnp.ones(mine.shape, jnp.uint32)]
+        )
+        mk, mc, _ = _aggregate_kernel(all_k, all_c)
+        mk = jax.lax.slice(mk, (0,), (cap,))
+        mc = jax.lax.slice(mc, (0,), (cap,))
+        histo = jax.lax.psum(ht._histogram_kernel(mc, histo_max), AXIS)
+        return mk[None], mc[None], histo
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
