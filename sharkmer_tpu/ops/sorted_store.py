@@ -190,14 +190,18 @@ class SortedKmerStore:
         """Fold all pending runs into the master run (in place)."""
         if not self.pending:
             return self
+        # slice to power-of-two occupancy buckets so repeated flushes
+        # reuse compiled shapes (exact-n slices would recompile per call)
         parts_k = []
         parts_c = []
         if self.n:
-            parts_k.append(jax.lax.slice(self.kmers, (0,), (self.n,)))
-            parts_c.append(jax.lax.slice(self.counts, (0,), (self.n,)))
+            w = min(self.capacity, _next_pow2(self.n))
+            parts_k.append(jax.lax.slice(self.kmers, (0,), (w,)))
+            parts_c.append(jax.lax.slice(self.counts, (0,), (w,)))
         for uk, uc, nu in self.pending:
-            parts_k.append(jax.lax.slice(uk, (0,), (nu,)))
-            parts_c.append(jax.lax.slice(uc, (0,), (nu,)))
+            w = min(uk.shape[0], _next_pow2(max(nu, 1)))
+            parts_k.append(jax.lax.slice(uk, (0,), (w,)))
+            parts_c.append(jax.lax.slice(uc, (0,), (w,)))
         total = sum(int(p.shape[0]) for p in parts_k)
         size = _next_pow2(total)
         parts_k.append(jnp.full((size - total,), jnp.uint64(EMPTY)))
