@@ -25,6 +25,7 @@ reference's dual-path testing pattern (encoding.rs:4-23):
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -152,6 +153,34 @@ def kmers_from_ascii_ref(seq: str, k: int) -> list[int]:
         if n_valid >= k:
             kmers.append(min(frame & mask, revframe & mask))
     return kmers
+
+
+# byte LUT: reverse-complement of the 4 bases packed in one byte
+# (matches the reference's REVCOMP_BYTE_LUT, encoding.rs:219-233)
+_REVCOMP_BYTE_LUT = np.empty(256, dtype=np.uint8)
+for _i in range(256):
+    _b0, _b1, _b2, _b3 = _i & 3, (_i >> 2) & 3, (_i >> 4) & 3, (_i >> 6) & 3
+    _REVCOMP_BYTE_LUT[_i] = (
+        ((3 - _b0) << 6) | ((3 - _b1) << 4) | ((3 - _b2) << 2) | (3 - _b3)
+    )
+
+
+def revcomp_kmers_np(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse complement of packed k-mers (numpy, host).
+
+    Complement+reverse each byte's 4 bases via the LUT, reverse the
+    byte order, then shift the result down so the k bases land in the
+    low 2k bits.
+    """
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    b = kmers.view(np.uint8).reshape(-1, 8)
+    if sys.byteorder != "little":  # pragma: no cover
+        b = b[:, ::-1]
+    rc_b = _REVCOMP_BYTE_LUT[b][:, ::-1]
+    if sys.byteorder != "little":  # pragma: no cover
+        rc_b = rc_b[:, ::-1]
+    rc = np.ascontiguousarray(rc_b).view(np.uint64).reshape(kmers.shape)
+    return rc >> np.uint64(64 - 2 * k)
 
 
 def revcomp_kmer(kmer: int, k: int) -> int:

@@ -448,6 +448,15 @@ class KmerTable:
 
     # -- host export (tests / small tables) --------------------------------
 
+    def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """Host mirror: (sorted unique kmers, counts)."""
+        keys = np.asarray(self.keys)
+        counts = np.asarray(self.counts)
+        occ = keys != np.uint64(KMER_SENTINEL)
+        keys, counts = keys[occ], counts[occ]
+        order = np.argsort(keys)
+        return keys[order], counts[order]
+
     def to_dict(self) -> dict[int, int]:
         keys = np.asarray(self.keys)
         counts = np.asarray(self.counts)

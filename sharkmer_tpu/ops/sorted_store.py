@@ -286,8 +286,11 @@ class SortedKmerStore:
 
     # -- host export -----------------------------------------------------------
 
-    def to_dict(self) -> dict[int, int]:
+    def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """Host mirror: (sorted unique kmers, counts)."""
         s = self._flushed()
-        keys = np.asarray(s.kmers[: s.n])
-        counts = np.asarray(s.counts[: s.n])
+        return np.asarray(s.kmers[: s.n]), np.asarray(s.counts[: s.n])
+
+    def to_dict(self) -> dict[int, int]:
+        keys, counts = self.to_sorted_arrays()
         return dict(zip(keys.tolist(), counts.tolist()))

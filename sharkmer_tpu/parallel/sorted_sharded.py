@@ -317,12 +317,18 @@ class ShardedSortedStore:
             all_c.append(np.asarray(cc[:nm]))
         return np.concatenate(all_k), np.concatenate(all_c)
 
-    def to_dict(self) -> dict[int, int]:
+    def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         s = self._flushed()
         keys = np.asarray(s.kmers).reshape(-1)
         counts = np.asarray(s.counts).reshape(-1)
         occ = keys != EMPTY
-        return dict(zip(keys[occ].tolist(), counts[occ].tolist()))
+        keys, counts = keys[occ], counts[occ]
+        order = np.argsort(keys)
+        return keys[order], counts[order]
+
+    def to_dict(self) -> dict[int, int]:
+        keys, counts = self.to_sorted_arrays()
+        return dict(zip(keys.tolist(), counts.tolist()))
 
 
 def make_sorted_ingest_step(mesh: Mesh, k: int, histo_max: int, cap: int):

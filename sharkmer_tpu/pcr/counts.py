@@ -59,21 +59,75 @@ class SmallCounts:
         return counts[mid]
 
 
+# Above this many unique k-mers the host mirror is skipped (memory)
+# and lookups stay on the device.
+MIRROR_MAX_UNIQUE = 256_000_000
+
+
 @dataclass
 class FilteredTable:
-    """Read-only min-count view of a device KmerTable."""
+    """Read-only min-count view of a device count backend.
+
+    sPCR graph extension issues one small lookup batch per BFS wave;
+    on a remote accelerator each device call costs milliseconds of
+    dispatch latency. Since every backend can export its contents as
+    sorted (kmers, counts) arrays, the view keeps a host numpy mirror
+    and serves wave lookups with np.searchsorted — microseconds per
+    wave — falling back to device lookups only when the store is too
+    large to mirror.
+    """
 
     table: KmerTable
     min_count: int
+    use_mirror: bool = True
+    _mirror: tuple[np.ndarray, np.ndarray] | None = None
 
     @property
     def k(self) -> int:
         return self.table.k
 
+    def _get_mirror(self):
+        if self._mirror is None:
+            pairs = self.table.to_dict() if not hasattr(
+                self.table, "to_sorted_arrays"
+            ) else None
+            if pairs is not None:  # generic fallback
+                kmers = np.fromiter(pairs.keys(), dtype=np.uint64, count=len(pairs))
+                counts = np.fromiter(pairs.values(), dtype=np.uint32, count=len(pairs))
+                order = np.argsort(kmers)
+                self._mirror = (kmers[order], counts[order])
+            else:
+                self._mirror = self.table.to_sorted_arrays()
+        return self._mirror
+
+    def _mirror_available(self) -> bool:
+        if not self.use_mirror:
+            return False
+        if self._mirror is not None:
+            return True
+        try:
+            return self.table.n_unique() <= MIRROR_MAX_UNIQUE
+        except Exception:
+            return False
+
     def get_canonical_many(self, kmers: np.ndarray) -> np.ndarray:
         """Counts for directional k-mers; entries below the global
         threshold report 0 (i.e. absent)."""
-        counts = np.array(self.table.lookup_directional(kmers))
+        if self._mirror_available():
+            from ..ops.encoding import revcomp_kmers_np
+
+            q = np.asarray(kmers, dtype=np.uint64).reshape(-1)
+            canon = np.minimum(q, revcomp_kmers_np(q, self.k))
+            mk, mc = self._get_mirror()
+            idx = np.searchsorted(mk, canon)
+            idx = np.minimum(idx, max(len(mk) - 1, 0))
+            if len(mk):
+                hit = mk[idx] == canon
+                counts = np.where(hit, mc[idx], 0).astype(np.uint32)
+            else:
+                counts = np.zeros(len(canon), np.uint32)
+        else:
+            counts = np.array(self.table.lookup_directional(kmers))
         counts[counts < self.min_count] = 0
         return counts
 

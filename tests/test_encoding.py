@@ -122,3 +122,16 @@ def test_k_bounds():
         kmers_from_ascii_ref("ACGT", 0)
     with pytest.raises(ValueError):
         kmers_from_ascii_ref("ACGT", 32)
+
+
+def test_revcomp_kmers_np_matches_scalar():
+    from sharkmer_tpu.ops.encoding import revcomp_kmers_np
+
+    rng = np.random.default_rng(9)
+    for k in (3, 11, 21, 31):
+        kmers = rng.integers(0, 1 << (2 * k), size=200, dtype=np.uint64)
+        got = revcomp_kmers_np(kmers, k)
+        expected = np.array(
+            [revcomp_kmer(int(x), k) for x in kmers], dtype=np.uint64
+        )
+        np.testing.assert_array_equal(got, expected)
