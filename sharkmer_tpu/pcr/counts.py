@@ -131,6 +131,68 @@ class FilteredTable:
         counts[counts < self.min_count] = 0
         return counts
 
+    # -- primer scans ---------------------------------------------------------
+
+    def _get_rc_order(self):
+        """Mirror rows ordered by revcomp(kmer): turns reverse-strand
+        prefix matches into contiguous range queries too."""
+        if getattr(self, "_rc_cache", None) is None:
+            from ..ops.encoding import revcomp_kmers_np
+
+            mk, _ = self._get_mirror()
+            rc = revcomp_kmers_np(mk, self.k)
+            order = np.argsort(rc)
+            self._rc_cache = (rc[order], order)
+        return self._rc_cache
+
+    def find_primer_matches(self, oligos: np.ndarray, oligo_len: int,
+                            min_count: int):
+        """All table k-mers starting with an oligo on either strand
+        (find_oligos_in_kmers semantics: forward precedence, RC hits
+        revcomp-normalized). Served from the host mirror as sorted
+        range queries when available; device sweep otherwise."""
+        if not self._mirror_available():
+            return self.table.prefix_scan(oligos, oligo_len, min_count)
+
+        from ..ops.encoding import revcomp_kmers_np
+
+        mk, mc = self._get_mirror()
+        if len(mk) == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+        oligos = np.asarray(oligos, dtype=np.uint64)
+        shift = np.uint64(2 * (self.k - oligo_len))
+
+        # forward: kmers in [oligo << shift, (oligo+1) << shift)
+        lo = oligos << shift
+        hi = (oligos + np.uint64(1)) << shift
+        starts = np.searchsorted(mk, lo)
+        ends = np.searchsorted(mk, hi)
+        fwd_rows = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, ends)]
+        ) if len(oligos) else np.zeros(0, np.int64)
+        fwd_rows = np.unique(fwd_rows)
+
+        # reverse strand: revcomp(kmer) starts with the oligo
+        rc_sorted, rc_order = self._get_rc_order()
+        starts = np.searchsorted(rc_sorted, lo)
+        ends = np.searchsorted(rc_sorted, hi)
+        rc_pos = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, ends)]
+        ) if len(oligos) else np.zeros(0, np.int64)
+        rc_rows = np.unique(rc_order[rc_pos.astype(np.int64)])
+        # forward precedence: a dual-orientation hit reports forward form
+        rc_rows = np.setdiff1d(rc_rows, fwd_rows, assume_unique=True)
+
+        rows = np.concatenate([fwd_rows, rc_rows]).astype(np.int64)
+        out_kmers = np.concatenate([
+            mk[fwd_rows],
+            revcomp_kmers_np(mk[rc_rows], self.k) if len(rc_rows) else
+            np.zeros(0, np.uint64),
+        ])
+        out_counts = mc[rows]
+        keep = out_counts >= min_count
+        return out_kmers[keep], out_counts[keep]
+
     def get_canonical(self, kmer: int) -> int | None:
         c = int(self.get_canonical_many(np.array([kmer], np.uint64))[0])
         return c if c > 0 else None

@@ -128,7 +128,11 @@ def get_kmers_from_primers(
         elif olen != length:
             raise ValueError("primer variants must share a length")
         oligos.append(kmer)
-    kmers, cts = counts.table.prefix_scan(
+    if length <= 0 or length >= counts.k:
+        raise ValueError(
+            f"oligo length {length} out of range for k={counts.k}"
+        )
+    kmers, cts = counts.find_primer_matches(
         np.array(sorted(set(oligos)), np.uint64), length, min_count
     )
     result = SmallCounts(counts.k)

@@ -158,3 +158,54 @@ def test_engine_sharded_sorted_backend():
     for a, b in zip(v1, v8):
         np.testing.assert_array_equal(a, b)
     assert e8.table.to_dict() == e1.table.to_dict()
+
+
+def test_mirror_primer_matches_equal_device_scan():
+    """FilteredTable.find_primer_matches (host mirror range queries)
+    must equal the device prefix_scan on both orientations."""
+    from sharkmer_tpu.pcr.counts import FilteredTable
+    from sharkmer_tpu.ops.encoding import seq_to_kmer
+
+    genome = random_genome(3000, seed=51)
+    reads = reads_from_genome(genome, 900, 90, seed=52)
+    k = 15
+    store = SortedKmerStore.create(k)
+    store.ingest_codes(codes_to_batch([ascii_to_codes(r) for r in reads]))
+
+    ft_mirror = FilteredTable(store, 1, use_mirror=True)
+    ft_device = FilteredTable(store, 1, use_mirror=False)
+
+    rng = np.random.default_rng(6)
+    for olen in (5, 9, 14):
+        # oligos drawn from the genome on both strands + random misses
+        oligos = []
+        for _ in range(20):
+            pos = int(rng.integers(0, len(genome) - olen))
+            oligos.append(seq_to_kmer(genome[pos : pos + olen]))
+        oligos += [int(x) for x in rng.integers(0, 1 << (2 * olen), size=10)]
+        oligos = np.array(sorted(set(oligos)), np.uint64)
+
+        k1, c1 = store.prefix_scan(oligos, olen, min_count=1)
+        k2, c2 = ft_mirror.find_primer_matches(oligos, olen, min_count=1)
+        assert sorted(zip(k1.tolist(), c1.tolist())) == sorted(
+            zip(k2.tolist(), c2.tolist())
+        ), f"olen={olen}"
+
+
+def test_mirror_lookup_matches_device():
+    from sharkmer_tpu.pcr.counts import FilteredTable
+
+    genome = random_genome(2000, seed=61)
+    reads = reads_from_genome(genome, 600, 80, seed=62)
+    store = SortedKmerStore.create(17)
+    store.ingest_codes(codes_to_batch([ascii_to_codes(r) for r in reads]))
+    ftm = FilteredTable(store, 2, use_mirror=True)
+    ftd = FilteredTable(store, 2, use_mirror=False)
+    rng = np.random.default_rng(7)
+    queries = np.concatenate([
+        np.array(list(store.to_dict())[:300], np.uint64),
+        rng.integers(0, 1 << 34, size=300, dtype=np.uint64),
+    ])
+    np.testing.assert_array_equal(
+        ftm.get_canonical_many(queries), ftd.get_canonical_many(queries)
+    )
