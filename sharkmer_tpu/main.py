@@ -277,10 +277,32 @@ def _ingest_all(args, engine: CountingEngine, max_reads: int,
                 resp = urllib.request.urlopen(url, timeout=60)
                 stream = gzip.GzipFile(fileobj=resp) if url.endswith(".gz") else resp
                 name = url
-            reached = engine.ingest(
-                fastq_mod.read_fastq_records(stream, args.validate_every, name),
-                max_reads,
-            )
+            try:
+                reached = engine.ingest(
+                    fastq_mod.read_fastq_records(
+                        stream, args.validate_every, name
+                    ),
+                    max_reads,
+                )
+            except (ConnectionError, TimeoutError, EOFError, OSError) as e:
+                # mid-stream drop classifier (io.rs:213-265): distinguish
+                # transient network failures from corrupt files and point
+                # at the cache as the remediation
+                if name.startswith(("http://", "https://", "ftp://")):
+                    raise OSError(
+                        f"Stream from {name} dropped while reading record "
+                        f"{engine.stats.n_reads_read + 1} ({e}).\n"
+                        f"This is usually a transient network interruption, "
+                        f"not a bad FASTQ file.\nRetry the run. If it "
+                        f"repeats, use the read cache (the default for "
+                        f"--ena); cached downloads are verified by SHA-256 "
+                        f"and do not suffer mid-stream drops."
+                    ) from e
+                raise OSError(
+                    f"Local read stream ended unexpectedly while reading "
+                    f"record {engine.stats.n_reads_read + 1} in {name} "
+                    f"({e}). The file may be truncated or corrupted."
+                ) from e
             if reached:
                 break
         if cache_config is not None:
