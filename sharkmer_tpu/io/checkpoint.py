@@ -32,12 +32,11 @@ FORMAT_VERSION = 1
 
 def save_table(path: str, table, stats=None) -> None:
     """Save any count backend (hash / sorted / sharded) to .npz."""
-    if hasattr(table, "flush"):  # SortedKmerStore
-        table.flush()
-        keys = np.asarray(table.kmers).reshape(-1)
+    if hasattr(table, "to_sorted_arrays"):
+        keys, counts = table.to_sorted_arrays()
     else:
         keys = np.asarray(table.keys).reshape(-1)
-    counts = np.asarray(table.counts).reshape(-1)
+        counts = np.asarray(table.counts).reshape(-1)
     meta = {
         "format_version": FORMAT_VERSION,
         "k": table.k,

@@ -7,34 +7,38 @@ while scattered probe rounds crawl at ~1M/s. So the TPU count path is
 built entirely from sorts and scans (the same reasoning that leads
 GPU k-mer counters to sort-based designs):
 
-* **aggregate**: sort the encoded batch, run-length-encode it with
-  prefix-scan arithmetic (no segment_sum, no scatter):
-  run_base = cummax(first_of_run ? exclusive_prefix : -inf) and
+* **aggregate**: sort the (kmer, count) batch, run-length-encode it
+  with prefix-scan arithmetic (no segment_sum, no wide scatter):
+  run_base = cummax(first_of_run ? exclusive_prefix : 0) and
   run_total = inclusive_prefix - run_base; keep the LAST element of
   each run, void the rest to the sentinel, and key-value sort once
   more to compact the survivors to the front.
-* **merge**: runs merge by concatenate -> the same aggregate pass
-  (equal keys from different runs sum their counts). Runs are managed
-  LSM-style: small batch runs accumulate and fold into the master run
-  when they reach a fraction of its size, so total merge work stays
-  O(N log N) amortized.
-* **histogram**: clipped bincount over the master counts (a scatter
-  into 10k bins — measured fast, unlike wide scatters).
-* **lookup**: vectorized binary search (searchsorted) against the
-  master run — log2(U) gathers per query batch.
-* **primer scan**: forward prefix matches are *contiguous ranges* of
-  the sorted store (two searchsorted calls per oligo); RC-suffix
-  matches use one elementwise sweep with searchsorted set-membership.
+* **partitioned master**: the master is a list of disjoint key-range
+  partitions, each a sorted sentinel-padded device array no larger
+  than MAX_AGG — the deployment-measured ceiling above which a single
+  fused sort kernel cannot compile. Batch runs are routed into
+  partitions with one device `searchsorted` against the partition
+  boundary keys, merged partition-locally, and partitions split in
+  half when they outgrow their budget. Total merge work stays
+  O(N log N) via the LSM flush policy (pending runs fold in when they
+  reach a fraction of the master size).
+* **histogram**: clipped bincount per partition, summed.
+* **lookup**: vectorized binary search per partition (a key lives in
+  exactly one partition, so per-partition results sum).
+* **primer scan**: forward prefix matches are contiguous ranges of
+  each partition; RC-suffix matches use an elementwise sweep with
+  searchsorted set-membership.
 
 The store keeps identical observable semantics to ops.hashtable
-(canonical u64 keys, u32 counts saturating at the freeze threshold),
-asserted by differential tests, and exposes the same API so the
-engine and the sPCR layer are backend-agnostic.
+(canonical u64 keys, exact u32 saturating counts), asserted by
+differential tests, and exposes the same API so the engine and the
+sPCR layer are backend-agnostic.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -46,6 +50,11 @@ from .hashtable import _histogram_kernel, _revcomp_kernel
 
 EMPTY = np.uint64(KMER_SENTINEL)
 
+# Largest element count a single fused sort/aggregate kernel may see.
+# The remote TPU compiler OOMs above ~2^24 on the deployment target;
+# override with SHARKMER_MAX_AGG when the toolchain allows more.
+MAX_AGG = int(os.environ.get("SHARKMER_MAX_AGG", 1 << 23))
+
 
 def _next_pow2(n: int) -> int:
     return 1 << max(6, (int(n) - 1).bit_length())
@@ -56,10 +65,8 @@ def _aggregate_kernel(kmers, counts):
     """Sort (kmers, counts); sum counts of equal keys; compact unique
     keys (still sorted) to the front with sentinel padding behind.
 
-    Returns (unique_kmers, totals, n_unique). Counts saturate at the
-    freeze threshold (see hashtable.SAT_THRESHOLD).
+    Returns (unique_kmers, totals, n_unique) — same width as the input.
     """
-    n = kmers.shape[0]
     sk, sc = jax.lax.sort((kmers, counts), num_keys=1)
     sc = sc.astype(jnp.uint64)
 
@@ -86,9 +93,25 @@ def _aggregate_kernel(kmers, counts):
     return out_k, out_c, n_unique
 
 
+@functools.partial(jax.jit, static_argnames=("out_width",))
+def _slice_run_kernel(keys, counts, start, size, out_width: int):
+    """Masked dynamic slice [start, start+size) padded to out_width.
+    The inputs are pre-padded so the window can never clamp."""
+    kpad = jnp.concatenate(
+        [keys, jnp.full((out_width,), jnp.uint64(EMPTY))]
+    )
+    cpad = jnp.concatenate([counts, jnp.zeros((out_width,), jnp.uint32)])
+    k = jax.lax.dynamic_slice(kpad, (start,), (out_width,))
+    c = jax.lax.dynamic_slice(cpad, (start,), (out_width,))
+    pos = jnp.arange(out_width)
+    k = jnp.where(pos < size, k, jnp.uint64(EMPTY))
+    c = jnp.where(pos < size, c, 0)
+    return k, c
+
+
 @jax.jit
 def _lookup_sorted_kernel(kmers, counts, n, queries):
-    """Binary-search lookups against the sorted master run."""
+    """Binary-search lookups against one sorted partition."""
     idx = jnp.searchsorted(kmers, queries)
     idx = jnp.minimum(idx, kmers.shape[0] - 1)
     hit = (kmers[idx] == queries) & (idx < n) & (queries != jnp.uint64(EMPTY))
@@ -107,7 +130,7 @@ def _prefix_scan_sorted_kernel(
     kmers, counts, rc_table, oligos_sorted, rc_oligos_sorted,
     shift: int, rc_mask_bits: int, max_out: int, min_count,
 ):
-    """Primer scan over the store (same semantics as the hashtable
+    """Primer scan over one partition (same semantics as the hashtable
     version: forward prefix match first, else RC low-bits match
     reported revcomp-normalized)."""
     occupied = (kmers != jnp.uint64(EMPTY)) & (counts >= min_count)
@@ -130,55 +153,67 @@ def _prefix_scan_sorted_kernel(
 
 
 @dataclass
+class _Part:
+    kmers: jax.Array  # sorted, sentinel-padded
+    counts: jax.Array
+    n: int  # occupancy
+    first_key: int  # lower bound of the partition's key range
+
+
+@dataclass
 class SortedKmerStore:
-    """LSM-managed sorted count runs with a KmerTable-compatible API."""
+    """Partitioned sorted count runs with a backend-standard API."""
 
     k: int
-    # master run: sorted unique kmers, sentinel-padded to a pow2 capacity
-    kmers: jax.Array
-    counts: jax.Array
-    n: int  # occupancy of the master run (host-tracked)
-    pending: list = field(default_factory=list)  # [(kmers, counts, n), ...]
+    parts: list = field(default_factory=list)  # ascending key ranges
+    pending: list = field(default_factory=list)  # [(uk, uc, nu), ...]
     pending_total: int = 0
-    merge_ratio: float = 0.5  # fold pending into master at this fraction
+    merge_ratio: float = 0.5
+    max_agg: int = MAX_AGG
 
     @staticmethod
-    def create(k: int, capacity: int = 1 << 16, **_ignored) -> "SortedKmerStore":
-        capacity = _next_pow2(capacity)
-        return SortedKmerStore(
-            k=k,
-            kmers=jnp.full((capacity,), jnp.uint64(EMPTY)),
-            counts=jnp.zeros((capacity,), jnp.uint32),
-            n=0,
-        )
+    def create(k: int, capacity: int = 0, **_ignored) -> "SortedKmerStore":
+        return SortedKmerStore(k=k)
 
     @property
     def capacity(self) -> int:
-        return self.kmers.shape[0]
+        return sum(p.kmers.shape[0] for p in self.parts)
+
+    @property
+    def part_budget(self) -> int:
+        return self.max_agg // 2
 
     # -- ingest --------------------------------------------------------------
 
     def insert_kmers(self, kmers, counts=None) -> "SortedKmerStore":
         kmers = jnp.asarray(kmers, dtype=jnp.uint64).reshape(-1)
-        size = _next_pow2(kmers.shape[0])
-        if size != kmers.shape[0]:
-            kmers = jnp.concatenate([
-                kmers,
-                jnp.full((size - kmers.shape[0],), jnp.uint64(EMPTY)),
-            ])
-        if counts is None:
-            counts = jnp.ones((size,), jnp.uint32)
-        else:
-            c = jnp.asarray(counts, dtype=jnp.uint32).reshape(-1)
-            if c.shape[0] != size:
-                c = jnp.concatenate(
-                    [c, jnp.zeros((size - c.shape[0],), jnp.uint32)]
-                )
-            counts = c
-        uk, uc, nu = _aggregate_kernel(kmers, counts)
-        self.pending.append((uk, uc, int(nu)))
-        self.pending_total += int(nu)
-        if self.pending_total >= max(1 << 16, self.merge_ratio * max(self.n, 1)):
+        if counts is not None:
+            counts = jnp.asarray(counts, dtype=jnp.uint32).reshape(-1)
+        # sub-batch so no aggregate exceeds the compile ceiling
+        step = self.part_budget
+        for i in range(0, max(int(kmers.shape[0]), 1), step):
+            ksub = kmers[i : i + step]
+            if ksub.shape[0] == 0:
+                break
+            size = _next_pow2(ksub.shape[0])
+            if size != ksub.shape[0]:
+                ksub = jnp.concatenate([
+                    ksub, jnp.full((size - ksub.shape[0],), jnp.uint64(EMPTY)),
+                ])
+            if counts is None:
+                csub = jnp.ones((size,), jnp.uint32)
+            else:
+                csub = counts[i : i + step]
+                if csub.shape[0] != size:
+                    csub = jnp.concatenate([
+                        csub, jnp.zeros((size - csub.shape[0],), jnp.uint32),
+                    ])
+            uk, uc, nu = _aggregate_kernel(ksub, csub)
+            self.pending.append((uk, uc, int(nu)))
+            self.pending_total += int(nu)
+        if self.pending_total >= max(
+            1 << 16, self.merge_ratio * max(self.n_unique_master(), 1)
+        ):
             self.flush()
         return self
 
@@ -186,33 +221,93 @@ class SortedKmerStore:
         kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)
         return self.insert_kmers(kmers.reshape(-1))
 
+    def n_unique_master(self) -> int:
+        return sum(p.n for p in self.parts)
+
+    # -- flush / partition management ----------------------------------------
+
     def flush(self) -> "SortedKmerStore":
-        """Fold all pending runs into the master run (in place)."""
+        """Fold all pending runs into the partitioned master (in place)."""
         if not self.pending:
             return self
-        # slice to power-of-two occupancy buckets so repeated flushes
-        # reuse compiled shapes (exact-n slices would recompile per call)
-        parts_k = []
-        parts_c = []
-        if self.n:
-            w = min(self.capacity, _next_pow2(self.n))
-            parts_k.append(jax.lax.slice(self.kmers, (0,), (w,)))
-            parts_c.append(jax.lax.slice(self.counts, (0,), (w,)))
-        for uk, uc, nu in self.pending:
-            w = min(uk.shape[0], _next_pow2(max(nu, 1)))
-            parts_k.append(jax.lax.slice(uk, (0,), (w,)))
-            parts_c.append(jax.lax.slice(uc, (0,), (w,)))
-        total = sum(int(p.shape[0]) for p in parts_k)
-        size = _next_pow2(total)
-        parts_k.append(jnp.full((size - total,), jnp.uint64(EMPTY)))
-        parts_c.append(jnp.zeros((size - total,), jnp.uint32))
-        all_k = jnp.concatenate(parts_k)
-        all_c = jnp.concatenate(parts_c)
-        mk, mc, nu = _aggregate_kernel(all_k, all_c)
-        self.kmers, self.counts, self.n = mk, mc, int(nu)
-        self.pending = []
+        pending, self.pending = self.pending, []
         self.pending_total = 0
+        for uk, uc, nu in pending:
+            self._merge_run(uk, uc, nu)
         return self
+
+    def _merge_run(self, uk, uc, nu: int) -> None:
+        if nu == 0:
+            return
+        if not self.parts:
+            w = min(uk.shape[0], _next_pow2(max(nu, 1)))
+            k = jax.lax.slice(uk, (0,), (w,))
+            c = jax.lax.slice(uc, (0,), (w,))
+            self.parts = [
+                _Part(k, c, nu, int(np.asarray(k[0:1])[0]) if nu else 0)
+            ]
+            self._split_overfull(0)
+            return
+
+        # route the run into partitions: one device searchsorted against
+        # the partition boundary keys, then masked dynamic slices
+        bounds = np.array(
+            [p.first_key for p in self.parts[1:]], dtype=np.uint64
+        )
+        if len(bounds):
+            splits = np.asarray(
+                jnp.searchsorted(uk, jnp.asarray(bounds))
+            ).tolist()
+        else:
+            splits = []
+        starts = [0] + [min(s, nu) for s in splits]
+        ends = [min(s, nu) for s in splits] + [nu]
+
+        for p_idx in range(len(self.parts)):
+            seg_start, seg_end = starts[p_idx], ends[p_idx]
+            # large segments merge in sub-slices to respect the ceiling
+            pos = seg_start
+            while pos < seg_end:
+                size = min(seg_end - pos, self.part_budget)
+                out_width = _next_pow2(size)
+                sk, sc = _slice_run_kernel(
+                    uk, uc, pos, size, out_width
+                )
+                self._merge_into_part(p_idx, sk, sc, size)
+                pos += size
+
+    def _merge_into_part(self, p_idx: int, sk, sc, seg_n: int) -> None:
+        part = self.parts[p_idx]
+        pw = min(part.kmers.shape[0], _next_pow2(max(part.n, 1)))
+        pk = jax.lax.slice(part.kmers, (0,), (pw,))
+        pc = jax.lax.slice(part.counts, (0,), (pw,))
+        mk, mc, mn = _aggregate_kernel(
+            jnp.concatenate([pk, sk]), jnp.concatenate([pc, sc])
+        )
+        self.parts[p_idx] = _Part(mk, mc, int(mn), part.first_key)
+        self._split_overfull(p_idx)
+
+    def _split_overfull(self, p_idx: int) -> None:
+        while self.parts[p_idx].n > self.part_budget:
+            part = self.parts[p_idx]
+            w = part.kmers.shape[0]
+            half = w // 2
+            lk = jax.lax.slice(part.kmers, (0,), (half,))
+            lc = jax.lax.slice(part.counts, (0,), (half,))
+            rk = jax.lax.slice(part.kmers, (half,), (w,))
+            rc_ = jax.lax.slice(part.counts, (half,), (w,))
+            n_left = min(part.n, half)
+            n_right = part.n - n_left
+            if n_right == 0:
+                # all data in the left half: shrink in place
+                self.parts[p_idx] = _Part(lk, lc, n_left, part.first_key)
+                continue
+            right_first = int(np.asarray(rk[0:1])[0])
+            self.parts[p_idx] = _Part(lk, lc, n_left, part.first_key)
+            self.parts.insert(
+                p_idx + 1, _Part(rk, rc_, n_right, right_first)
+            )
+            p_idx = p_idx if self.parts[p_idx].n > self.part_budget else p_idx + 1
 
     # -- queries --------------------------------------------------------------
 
@@ -224,7 +319,10 @@ class SortedKmerStore:
     def lookup(self, queries) -> jax.Array:
         s = self._flushed()
         q = jnp.asarray(queries, dtype=jnp.uint64)
-        return _lookup_sorted_kernel(s.kmers, s.counts, s.n, q)
+        out = jnp.zeros(q.shape, jnp.uint32)
+        for p in s.parts:
+            out = out + _lookup_sorted_kernel(p.kmers, p.counts, p.n, q)
+        return out
 
     def lookup_directional(self, queries) -> np.ndarray:
         s = self._flushed()
@@ -235,27 +333,37 @@ class SortedKmerStore:
         padded = _next_pow2(nq)
         qp = np.full(padded, EMPTY, dtype=np.uint64)
         qp[:nq] = q
-        out = _lookup_directional_sorted_kernel(
-            s.kmers, s.counts, s.n, jnp.asarray(qp), s.k
-        )
-        return np.asarray(out)[:nq]
+        qj = jnp.asarray(qp)
+        out = np.zeros(padded, np.uint32)
+        for p in s.parts:
+            out = out + np.asarray(
+                _lookup_directional_sorted_kernel(
+                    p.kmers, p.counts, p.n, qj, s.k
+                )
+            )
+        return out[:nq]
 
     def histogram(self, histo_max: int) -> np.ndarray:
         s = self._flushed()
-        return np.asarray(_histogram_kernel(s.counts, histo_max))
+        total = np.zeros(histo_max + 2, np.uint64)
+        for p in s.parts:
+            total = total + np.asarray(_histogram_kernel(p.counts, histo_max))
+        return total
 
     def n_unique(self) -> int:
-        return self._flushed().n
+        return self._flushed().n_unique_master()
 
     def n_total(self) -> int:
         s = self._flushed()
-        return int(jnp.sum(s.counts.astype(jnp.uint64)))
+        return sum(
+            int(jnp.sum(p.counts.astype(jnp.uint64))) for p in s.parts
+        )
 
     def max_count(self) -> int:
         s = self._flushed()
-        if s.n == 0:
+        if not s.parts:
             return 0
-        return int(jnp.max(s.counts))
+        return max(int(jnp.max(p.counts)) for p in s.parts)
 
     def prefix_scan(self, oligos, oligo_len: int, min_count: int,
                     max_out: int = 1 << 16):
@@ -271,25 +379,33 @@ class SortedKmerStore:
             sorted({_rc(int(o), oligo_len) for o in oligos}), dtype=np.uint64
         )
         fwd = np.sort(oligos)
-        rc_table = _revcomp_kernel(s.kmers, s.k)
-        kmers, counts, nm = _prefix_scan_sorted_kernel(
-            s.kmers, s.counts, rc_table, jnp.asarray(fwd), jnp.asarray(rc),
-            2 * (s.k - oligo_len), 2 * oligo_len, max_out,
-            jnp.uint32(min_count),
-        )
-        nm = int(nm)
-        if nm > max_out:
-            raise RuntimeError(
-                f"primer scan overflow: {nm} matches > max_out {max_out}"
+        all_k, all_c = [np.zeros(0, np.uint64)], [np.zeros(0, np.uint32)]
+        for p in s.parts:
+            rc_table = _revcomp_kernel(p.kmers, s.k)
+            kmers, counts, nm = _prefix_scan_sorted_kernel(
+                p.kmers, p.counts, rc_table, jnp.asarray(fwd),
+                jnp.asarray(rc), 2 * (s.k - oligo_len), 2 * oligo_len,
+                max_out, jnp.uint32(min_count),
             )
-        return np.asarray(kmers[:nm]), np.asarray(counts[:nm])
+            nm = int(nm)
+            if nm > max_out:
+                raise RuntimeError(
+                    f"primer scan overflow: {nm} matches > max_out {max_out}"
+                )
+            all_k.append(np.asarray(kmers[:nm]))
+            all_c.append(np.asarray(counts[:nm]))
+        return np.concatenate(all_k), np.concatenate(all_c)
 
     # -- host export -----------------------------------------------------------
 
     def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         """Host mirror: (sorted unique kmers, counts)."""
         s = self._flushed()
-        return np.asarray(s.kmers[: s.n]), np.asarray(s.counts[: s.n])
+        if not s.parts:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+        keys = np.concatenate([np.asarray(p.kmers[: p.n]) for p in s.parts])
+        counts = np.concatenate([np.asarray(p.counts[: p.n]) for p in s.parts])
+        return keys, counts
 
     def to_dict(self) -> dict[int, int]:
         keys, counts = self.to_sorted_arrays()
