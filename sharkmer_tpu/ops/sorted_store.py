@@ -51,17 +51,17 @@ from .hashtable import _histogram_kernel, _revcomp_kernel
 EMPTY = np.uint64(KMER_SENTINEL)
 
 # Largest element count a single fused sort/aggregate kernel may see.
-# The remote TPU compiler OOMs above ~2^24 on the deployment target;
-# override with SHARKMER_MAX_AGG when the toolchain allows more.
-MAX_AGG = int(os.environ.get("SHARKMER_MAX_AGG", 1 << 23))
+# The remote TPU compiler OOMs above ~2^24 on the deployment target
+# (and compile time grows steeply before that); override with
+# SHARKMER_MAX_AGG when the toolchain allows more.
+MAX_AGG = int(os.environ.get("SHARKMER_MAX_AGG", 1 << 22))
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(6, (int(n) - 1).bit_length())
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _aggregate_kernel(kmers, counts):
+def _aggregate_impl(kmers, counts):
     """Sort (kmers, counts); sum counts of equal keys; compact unique
     keys (still sorted) to the front with sentinel padding behind.
 
@@ -91,6 +91,37 @@ def _aggregate_kernel(kmers, counts):
     out_k, out_c = jax.lax.sort((out_k, out_c), num_keys=1)
     n_unique = jnp.sum(keep, dtype=jnp.int64)
     return out_k, out_c, n_unique
+
+
+_aggregate_kernel = functools.partial(jax.jit, donate_argnums=(0, 1))(
+    _aggregate_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _pad_to_kernel(keys, counts, width: int):
+    """Pad (keys, counts) to exactly `width` with sentinels/zeros."""
+    pad = width - keys.shape[0]
+    if pad <= 0:
+        return keys[:width], counts[:width]
+    return (
+        jnp.concatenate([keys, jnp.full((pad,), jnp.uint64(EMPTY))]),
+        jnp.concatenate([counts, jnp.zeros((pad,), jnp.uint32)]),
+    )
+
+
+@jax.jit
+def _searchsorted_kernel(keys, bounds):
+    return jnp.searchsorted(keys, bounds)
+
+
+@jax.jit
+def _merge_kernel(pk, pc, sk, sc):
+    """Merge two equal-width sorted runs: ONE fixed shape on the hot
+    path (2 * part_budget), however the store grows."""
+    return _aggregate_impl(
+        jnp.concatenate([pk, sk]), jnp.concatenate([pc, sc])
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -189,13 +220,15 @@ class SortedKmerStore:
         kmers = jnp.asarray(kmers, dtype=jnp.uint64).reshape(-1)
         if counts is not None:
             counts = jnp.asarray(counts, dtype=jnp.uint32).reshape(-1)
-        # sub-batch so no aggregate exceeds the compile ceiling
+        # sub-batch so no aggregate exceeds the compile ceiling; widths
+        # are power-of-two so at most log2(budget) shapes ever compile
         step = self.part_budget
-        for i in range(0, max(int(kmers.shape[0]), 1), step):
+        n_in = int(kmers.shape[0])
+        for i in range(0, max(n_in, 1), step):
             ksub = kmers[i : i + step]
             if ksub.shape[0] == 0:
                 break
-            size = _next_pow2(ksub.shape[0])
+            size = min(step, _next_pow2(int(ksub.shape[0])))
             if size != ksub.shape[0]:
                 ksub = jnp.concatenate([
                     ksub, jnp.full((size - ksub.shape[0],), jnp.uint64(EMPTY)),
@@ -237,77 +270,77 @@ class SortedKmerStore:
         return self
 
     def _merge_run(self, uk, uc, nu: int) -> None:
+        """Fold one sorted unique run (width <= part_budget) into the
+        partitioned master.
+
+        Shape discipline: every partition array is physically EXACTLY
+        part_budget wide (sentinel-padded past its occupancy), so the
+        whole lifetime of the store compiles a constant set of XLA
+        programs: one 2*budget merge, one budget histogram/lookup, and
+        at most log2(budget) run-width variants. Data-dependent widths
+        here previously caused a fresh (remote) compile per merge.
+        """
+        W = self.part_budget
         if nu == 0:
             return
         if not self.parts:
-            w = min(uk.shape[0], _next_pow2(max(nu, 1)))
-            k = jax.lax.slice(uk, (0,), (w,))
-            c = jax.lax.slice(uc, (0,), (w,))
-            self.parts = [
-                _Part(k, c, nu, int(np.asarray(k[0:1])[0]) if nu else 0)
-            ]
-            self._split_overfull(0)
+            pk, pc = _pad_to_kernel(uk, uc, W)
+            # part 0's lower bound is never consulted (it catches all
+            # keys below the second partition)
+            self.parts = [_Part(pk, pc, nu, 0)]
             return
 
-        # route the run into partitions: one device searchsorted against
-        # the partition boundary keys, then masked dynamic slices
-        bounds = np.array(
-            [p.first_key for p in self.parts[1:]], dtype=np.uint64
-        )
-        if len(bounds):
-            splits = np.asarray(
-                jnp.searchsorted(uk, jnp.asarray(bounds))
+        # route the run across the partition key ranges with a single
+        # device searchsorted against the boundary keys
+        firsts = [p.first_key for p in self.parts[1:]]
+        if firsts:
+            bw = _next_pow2(len(firsts))
+            bounds = np.full((bw,), EMPTY, dtype=np.uint64)
+            bounds[: len(firsts)] = firsts
+            splits = np.minimum(
+                np.asarray(
+                    _searchsorted_kernel(uk, jnp.asarray(bounds))
+                )[: len(firsts)],
+                nu,
             ).tolist()
         else:
             splits = []
-        starts = [0] + [min(s, nu) for s in splits]
-        ends = [min(s, nu) for s in splits] + [nu]
-
-        for p_idx in range(len(self.parts)):
-            seg_start, seg_end = starts[p_idx], ends[p_idx]
-            # large segments merge in sub-slices to respect the ceiling
-            pos = seg_start
-            while pos < seg_end:
-                size = min(seg_end - pos, self.part_budget)
-                out_width = _next_pow2(size)
-                sk, sc = _slice_run_kernel(
-                    uk, uc, pos, size, out_width
-                )
-                self._merge_into_part(p_idx, sk, sc, size)
-                pos += size
-
-    def _merge_into_part(self, p_idx: int, sk, sc, seg_n: int) -> None:
-        part = self.parts[p_idx]
-        pw = min(part.kmers.shape[0], _next_pow2(max(part.n, 1)))
-        pk = jax.lax.slice(part.kmers, (0,), (pw,))
-        pc = jax.lax.slice(part.counts, (0,), (pw,))
-        mk, mc, mn = _aggregate_kernel(
-            jnp.concatenate([pk, sk]), jnp.concatenate([pc, sc])
-        )
-        self.parts[p_idx] = _Part(mk, mc, int(mn), part.first_key)
-        self._split_overfull(p_idx)
-
-    def _split_overfull(self, p_idx: int) -> None:
-        while self.parts[p_idx].n > self.part_budget:
-            part = self.parts[p_idx]
-            w = part.kmers.shape[0]
-            half = w // 2
-            lk = jax.lax.slice(part.kmers, (0,), (half,))
-            lc = jax.lax.slice(part.counts, (0,), (half,))
-            rk = jax.lax.slice(part.kmers, (half,), (w,))
-            rc_ = jax.lax.slice(part.counts, (half,), (w,))
-            n_left = min(part.n, half)
-            n_right = part.n - n_left
-            if n_right == 0:
-                # all data in the left half: shrink in place
-                self.parts[p_idx] = _Part(lk, lc, n_left, part.first_key)
+        starts = [0, *splits]
+        ends = [*splits, nu]
+        # snapshot the targets: a merge may split its partition and
+        # shift list indices, but the routing above is against the
+        # pre-flush boundaries, so each segment's owner object is fixed
+        targets = list(self.parts)
+        for part, seg_start, seg_end in zip(targets, starts, ends):
+            if seg_end <= seg_start:
                 continue
-            right_first = int(np.asarray(rk[0:1])[0])
-            self.parts[p_idx] = _Part(lk, lc, n_left, part.first_key)
-            self.parts.insert(
-                p_idx + 1, _Part(rk, rc_, n_right, right_first)
+            sk, sc = _slice_run_kernel(
+                uk, uc, seg_start, seg_end - seg_start, W
             )
-            p_idx = p_idx if self.parts[p_idx].n > self.part_budget else p_idx + 1
+            self._merge_into_part(part, sk, sc)
+
+    def _merge_into_part(self, part: _Part, sk, sc) -> None:
+        W = self.part_budget
+        p_idx = next(i for i, p in enumerate(self.parts) if p is part)
+        mk, mc, mn = _merge_kernel(part.kmers, part.counts, sk, sc)
+        mn = int(mn)
+        if mn <= W:
+            self.parts[p_idx] = _Part(
+                jax.lax.slice(mk, (0,), (W,)),
+                jax.lax.slice(mc, (0,), (W,)),
+                mn,
+                part.first_key,
+            )
+            return
+        # overfull: split at the width midpoint. Both merge inputs hold
+        # <= W uniques, so mn <= 2W and each half fits the budget.
+        lk = jax.lax.slice(mk, (0,), (W,))
+        lc = jax.lax.slice(mc, (0,), (W,))
+        rk = jax.lax.slice(mk, (W,), (2 * W,))
+        rc_ = jax.lax.slice(mc, (W,), (2 * W,))
+        right_first = int(np.asarray(rk[0:1])[0])
+        self.parts[p_idx] = _Part(lk, lc, W, part.first_key)
+        self.parts.insert(p_idx + 1, _Part(rk, rc_, mn - W, right_first))
 
     # -- queries --------------------------------------------------------------
 
@@ -392,8 +425,10 @@ class SortedKmerStore:
                 raise RuntimeError(
                     f"primer scan overflow: {nm} matches > max_out {max_out}"
                 )
-            all_k.append(np.asarray(kmers[:nm]))
-            all_c.append(np.asarray(counts[:nm]))
+            # full-width transfer + host slice: device slices of
+            # data-dependent width would compile per distinct nm
+            all_k.append(np.asarray(kmers)[:nm])
+            all_c.append(np.asarray(counts)[:nm])
         return np.concatenate(all_k), np.concatenate(all_c)
 
     # -- host export -----------------------------------------------------------
@@ -403,8 +438,10 @@ class SortedKmerStore:
         s = self._flushed()
         if not s.parts:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
-        keys = np.concatenate([np.asarray(p.kmers[: p.n]) for p in s.parts])
-        counts = np.concatenate([np.asarray(p.counts[: p.n]) for p in s.parts])
+        keys = np.concatenate([np.asarray(p.kmers)[: p.n] for p in s.parts])
+        counts = np.concatenate(
+            [np.asarray(p.counts)[: p.n] for p in s.parts]
+        )
         return keys, counts
 
     def to_dict(self) -> dict[int, int]:

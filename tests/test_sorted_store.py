@@ -209,3 +209,39 @@ def test_mirror_lookup_matches_device():
     np.testing.assert_array_equal(
         ftm.get_canonical_many(queries), ftd.get_canonical_many(queries)
     )
+
+
+def test_partition_splitting_differential():
+    """Tiny max_agg forces many partitions and splits; results must
+    still match a dict model exactly."""
+    import collections
+
+    rng = np.random.default_rng(77)
+    store = SortedKmerStore.create(21)
+    store.max_agg = 1 << 8  # 256-entry ceiling -> constant splitting
+    model = collections.Counter()
+    for _ in range(6):
+        batch = rng.integers(0, 1 << 12, size=700, dtype=np.uint64)
+        store.insert_kmers(batch)
+        model.update(batch.tolist())
+    assert len(store._flushed().parts) > 1
+    assert store.to_dict() == dict(model)
+    assert store.n_unique() == len(model)
+    assert store.n_total() == sum(model.values())
+    # partitions stay within budget and are globally ordered
+    s = store._flushed()
+    prev_last = -1
+    for p in s.parts:
+        assert p.n <= s.part_budget
+        keys = np.asarray(p.kmers[: p.n])
+        assert (np.diff(keys.astype(np.int64)) > 0).all() if p.n > 1 else True
+        assert int(keys[0]) > prev_last
+        prev_last = int(keys[-1])
+    # lookups across partition boundaries
+    queries = np.array(list(model)[:200] + [1 << 40], np.uint64)
+    got = store.lookup_directional(queries)
+    from sharkmer_tpu.ops.encoding import revcomp_kmer
+
+    for q, g in zip(queries.tolist(), got.tolist()):
+        canon = min(q, revcomp_kmer(q, 21))
+        assert g == model.get(canon, model.get(q, 0)) or g == model.get(q, 0)
