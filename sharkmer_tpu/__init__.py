@@ -31,9 +31,27 @@ JAX x64 must be enabled before any jax import downstream of this
 package (k-mers are 2k-bit values packed in uint64, k <= 31).
 """
 
+import os
+
 import jax
 
 # k-mers are packed 2 bits/base into uint64 (k <= 31 -> up to 62 bits).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: without it every CLI invocation pays
+# the full (remote) compile cost again. Honour an explicit
+# JAX_COMPILATION_CACHE_DIR; otherwise default to a per-user cache dir.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "sharkmer_tpu",
+        "jax_cache",
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    except OSError:  # read-only home: run without a persistent cache
+        pass
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"

@@ -146,11 +146,23 @@ class CountingEngine:
         """Insert the canonical k-mers of an encoded batch."""
         if codes.shape[0] == 0:
             return
+        n_rows = codes.shape[0]
+        # pad the row dimension to a power of two so ragged tail batches
+        # reuse the compiled encode kernel (pad rows yield no valid
+        # k-mers and sentinel keys, which every downstream op ignores)
+        rows_padded = 1 << (n_rows - 1).bit_length()
+        if rows_padded != n_rows:
+            pad = np.full(
+                (rows_padded - n_rows, codes.shape[1]),
+                encoding.CODE_PAD,
+                dtype=np.uint8,
+            )
+            codes = np.concatenate([codes, pad])
         kmers, valid = encoding.canonical_kmers(codes, self.k)
         n_valid_bases = int(np.sum(np.asarray(codes) < encoding.CODE_N))
         n_kmers = int(np.sum(np.asarray(valid)))
         self.table = self.table.insert_kmers(kmers.reshape(-1))
-        self.stats.n_reads_ingested += codes.shape[0]
+        self.stats.n_reads_ingested += n_rows
         self.stats.n_bases_ingested += n_valid_bases
         self.stats.n_kmers_ingested += n_kmers
 
