@@ -242,8 +242,11 @@ class SortedKmerStore:
                         csub, jnp.zeros((size - csub.shape[0],), jnp.uint32),
                     ])
             uk, uc, nu = _aggregate_kernel(ksub, csub)
-            self.pending.append((uk, uc, int(nu)))
-            self.pending_total += int(nu)
+            # nu stays on device: syncing per sub-batch would serialize
+            # every dispatch on a device round-trip. pending_total is an
+            # upper bound (run width), which only affects flush cadence.
+            self.pending.append((uk, uc, nu))
+            self.pending_total += size
         if self.pending_total >= max(
             1 << 16, self.merge_ratio * max(self.n_unique_master(), 1)
         ):
@@ -260,12 +263,40 @@ class SortedKmerStore:
     # -- flush / partition management ----------------------------------------
 
     def flush(self) -> "SortedKmerStore":
-        """Fold all pending runs into the partitioned master (in place)."""
+        """Fold all pending runs into the partitioned master (in place).
+
+        Runs are first tree-merged pairwise up to the compile ceiling
+        (width max_agg) so each master partition is touched by as few
+        merge ops as possible — per-op dispatch latency, not element
+        throughput, dominates on a remote device.
+        """
         if not self.pending:
             return self
         pending, self.pending = self.pending, []
         self.pending_total = 0
-        for uk, uc, nu in pending:
+        # consolidate equal-width runs pairwise while the merged sort
+        # stays within the compile ceiling (widths are powers of two)
+        by_width: dict[int, list] = {}
+        for run in pending:
+            by_width.setdefault(int(run[0].shape[0]), []).append(run)
+        w = min(by_width)
+        while 2 * w <= self.max_agg:
+            runs = by_width.get(w, [])
+            while len(runs) >= 2:
+                (ak, ac, _), (bk, bc, _) = runs.pop(), runs.pop()
+                by_width.setdefault(2 * w, []).append(
+                    _merge_kernel(ak, ac, bk, bc)
+                )
+            if not runs:
+                by_width.pop(w, None)
+            w *= 2
+        merged = [r for runs in by_width.values() for r in runs]
+        # ONE device round-trip for every run's occupancy
+        nus = [
+            int(v)
+            for v in np.asarray(jnp.stack([nu for _, _, nu in merged]))
+        ]
+        for (uk, uc, _), nu in zip(merged, nus):
             self._merge_run(uk, uc, nu)
         return self
 
@@ -284,10 +315,22 @@ class SortedKmerStore:
         if nu == 0:
             return
         if not self.parts:
-            pk, pc = _pad_to_kernel(uk, uc, W)
+            # seed the master from the run's first W-slice; the tail of
+            # a wider (tree-merged) run folds in through the merge path.
             # part 0's lower bound is never consulted (it catches all
-            # keys below the second partition)
-            self.parts = [_Part(pk, pc, nu, 0)]
+            # keys below the second partition).
+            head = min(nu, W)
+            sk, sc = _slice_run_kernel(uk, uc, 0, head, W)
+            self.parts = [_Part(sk, sc, head, 0)]
+            if nu <= W:
+                return
+            target = self.parts[0]
+            pos = head
+            while pos < nu:
+                size = min(W, nu - pos)
+                sk, sc = _slice_run_kernel(uk, uc, pos, size, W)
+                target = self._merge_into_part(target, sk, sc)
+                pos += size
             return
 
         # route the run across the partition key ranges with a single
@@ -312,26 +355,34 @@ class SortedKmerStore:
         # pre-flush boundaries, so each segment's owner object is fixed
         targets = list(self.parts)
         for part, seg_start, seg_end in zip(targets, starts, ends):
-            if seg_end <= seg_start:
-                continue
-            sk, sc = _slice_run_kernel(
-                uk, uc, seg_start, seg_end - seg_start, W
-            )
-            self._merge_into_part(part, sk, sc)
+            # wide (tree-merged) runs can put more than W keys in one
+            # partition's range: merge W-slices in ascending order,
+            # threading the tail-owning partition through any splits
+            target, pos = part, seg_start
+            while pos < seg_end:
+                size = min(W, seg_end - pos)
+                sk, sc = _slice_run_kernel(uk, uc, pos, size, W)
+                target = self._merge_into_part(target, sk, sc)
+                pos += size
 
-    def _merge_into_part(self, part: _Part, sk, sc) -> None:
+    def _merge_into_part(self, part: _Part, sk, sc) -> "_Part":
+        """Merge a W-wide sorted slice into `part`; split if overfull.
+        Returns the partition now owning the TOP of part's key range
+        (the right half after a split), so callers merging ascending
+        slices can keep targeting the correct partition."""
         W = self.part_budget
         p_idx = next(i for i, p in enumerate(self.parts) if p is part)
         mk, mc, mn = _merge_kernel(part.kmers, part.counts, sk, sc)
         mn = int(mn)
         if mn <= W:
-            self.parts[p_idx] = _Part(
+            new = _Part(
                 jax.lax.slice(mk, (0,), (W,)),
                 jax.lax.slice(mc, (0,), (W,)),
                 mn,
                 part.first_key,
             )
-            return
+            self.parts[p_idx] = new
+            return new
         # overfull: split at the width midpoint. Both merge inputs hold
         # <= W uniques, so mn <= 2W and each half fits the budget.
         lk = jax.lax.slice(mk, (0,), (W,))
@@ -339,8 +390,10 @@ class SortedKmerStore:
         rk = jax.lax.slice(mk, (W,), (2 * W,))
         rc_ = jax.lax.slice(mc, (W,), (2 * W,))
         right_first = int(np.asarray(rk[0:1])[0])
+        right = _Part(rk, rc_, mn - W, right_first)
         self.parts[p_idx] = _Part(lk, lc, W, part.first_key)
-        self.parts.insert(p_idx + 1, _Part(rk, rc_, mn - W, right_first))
+        self.parts.insert(p_idx + 1, right)
+        return right
 
     # -- queries --------------------------------------------------------------
 
