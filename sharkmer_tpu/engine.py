@@ -30,6 +30,7 @@ import logging
 from dataclasses import dataclass, field
 from typing import Iterable, Iterator
 
+import jax.numpy as jnp
 import numpy as np
 
 from .ops import encoding
@@ -63,6 +64,7 @@ class CountingEngine:
     stats: IngestStats = field(init=False)
     _chunk_buffers: list[list[bytes]] = field(init=False)
     _stream_buffer: list[bytes] = field(init=False)
+    _kmer_count_dev: object = field(init=False, default=None)  # device u64
 
     def __post_init__(self):
         if self.n_shards > 1:
@@ -159,12 +161,18 @@ class CountingEngine:
             )
             codes = np.concatenate([codes, pad])
         kmers, valid = encoding.canonical_kmers(codes, self.k)
-        n_valid_bases = int(np.sum(np.asarray(codes) < encoding.CODE_N))
-        n_kmers = int(np.sum(np.asarray(valid)))
+        n_valid_bases = int(np.sum(codes < encoding.CODE_N))
+        # k-mer totals accumulate ON DEVICE: transferring `valid` (or
+        # any per-batch scalar) would block the async dispatch stream
+        # on a device round-trip every batch
+        batch_kmers = jnp.sum(valid, dtype=jnp.uint64)
+        if self._kmer_count_dev is None:
+            self._kmer_count_dev = batch_kmers
+        else:
+            self._kmer_count_dev = self._kmer_count_dev + batch_kmers
         self.table = self.table.insert_kmers(kmers.reshape(-1))
         self.stats.n_reads_ingested += n_rows
         self.stats.n_bases_ingested += n_valid_bases
-        self.stats.n_kmers_ingested += n_kmers
 
     def _ingest_seqs(self, seqs: list) -> None:
         """Encode a group of reads (bytes or pre-encoded arrays) and
@@ -197,6 +205,9 @@ class CountingEngine:
             if self.n_chunks > 0:  # chunks == 1: one snapshot
                 histo_vecs = [self.table.histogram(self.histo_max)]
 
+        # materialize the device-side k-mer total (one sync per run)
+        if self._kmer_count_dev is not None:
+            self.stats.n_kmers_ingested = int(self._kmer_count_dev)
         n_hashed = self.table.n_total()
         if n_hashed != self.stats.n_kmers_ingested:
             raise AssertionError(

@@ -76,10 +76,11 @@ def _aggregate_impl(kmers, counts):
     excl = incl - sc
     # prefix total just before each run's start, broadcast down the run
     # (excl is monotone non-decreasing, so a running max of the
-    # run-start values propagates each run's base down its run)
-    run_base = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, excl, jnp.uint64(0))
-    )
+    # run-start values propagates each run's base down its run).
+    # lax.cummax, NOT associative_scan: the generic scan's unrolled
+    # slice/concat tree makes XLA compile time explode past ~2^20
+    # elements, while the cumulative-reduce primitives stay flat.
+    run_base = jax.lax.cummax(jnp.where(first, excl, jnp.uint64(0)))
     # exact u32 saturation (the u64 sum is exact, so this matches the
     # reference's saturating_add for ALL counts)
     run_total = jnp.minimum(incl - run_base, jnp.uint64(0xFFFF_FFFF))
