@@ -226,10 +226,17 @@ def _lookup_kernel(keys, counts, queries):
 def _histogram_kernel(counts, histo_max: int):
     """Clipped count-of-counts. Index i = number of k-mers with count i,
     index histo_max+1 = number with count > histo_max (folded tail).
-    Index 0 is forced to 0 (empty slots are not k-mers)."""
-    clipped = jnp.minimum(counts, jnp.uint32(histo_max + 1)).astype(jnp.int64)
-    histo = jnp.bincount(clipped, length=histo_max + 2)
-    return histo.at[0].set(0).astype(jnp.uint64)
+    Index 0 is forced to 0 (empty slots are not k-mers).
+
+    Sort-based: sort the clipped counts and difference ``searchsorted``
+    positions at the bin edges. On TPU this runs ~24x faster than a
+    bincount (bincount lowers to a serialized scatter-add; measured
+    14M el/s vs 336M el/s for the sort at 2^26)."""
+    clipped = jax.lax.sort(jnp.minimum(counts, jnp.uint32(histo_max + 1)))
+    edges = jnp.arange(histo_max + 3, dtype=jnp.uint32)
+    pos = jnp.searchsorted(clipped, edges)
+    histo = (pos[1:] - pos[:-1]).astype(jnp.uint64)
+    return histo.at[0].set(0)
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "rc_mask_bits", "max_out"))

@@ -2,37 +2,45 @@
 
 Hash tables are hostile to TPUs: every insert is a random HBM
 gather/scatter, and probe loops pay the full batch width every round.
-Measured on v5e, XLA sorts run at ~220M u64/s and scans at >600M/s
-while scattered probe rounds crawl at ~1M/s. So the TPU count path is
-built entirely from sorts and scans (the same reasoning that leads
+Measured on the deployment chip (v5e class), XLA key-value sorts run
+at 225-290M u64/s from 2^21 up to 2^27 elements, while scattered probe
+rounds and bincount scatters crawl at 14-34M/s. So the TPU count path
+is built entirely from sorts and scans (the same reasoning that leads
 GPU k-mer counters to sort-based designs):
 
-* **aggregate**: sort the (kmer, count) batch, run-length-encode it
-  with prefix-scan arithmetic (no segment_sum, no wide scatter):
-  run_base = cummax(first_of_run ? exclusive_prefix : 0) and
-  run_total = inclusive_prefix - run_base; keep the LAST element of
-  each run, void the rest to the sentinel, and key-value sort once
-  more to compact the survivors to the front.
+* **raw buffer**: encoded canonical k-mers are appended tile-by-tile
+  into a preallocated device buffer (a donated dynamic_update_slice
+  per tile — pure HBM bandwidth, no sort, no sync). Ingest therefore
+  costs ~nothing until the buffer fills.
+* **drain (the workhorse)**: ONE fused kernel over the whole buffer:
+  u64 key sort -> run-length encode with an int32 cummax (counts are
+  implicit ones, so run totals are position arithmetic — no u64
+  scans) -> compact survivors to the front with one key-value sort.
+  Measured 92-102M k-mers/s at 2^26..2^27 widths on the target chip.
 * **partitioned master**: the master is a list of disjoint key-range
-  partitions, each a sorted sentinel-padded device array no larger
-  than MAX_AGG — the deployment-measured ceiling above which a single
-  fused sort kernel cannot compile. Batch runs are routed into
-  partitions with one device `searchsorted` against the partition
-  boundary keys, merged partition-locally, and partitions split in
-  half when they outgrow their budget. Total merge work stays
-  O(N log N) via the LSM flush policy (pending runs fold in when they
-  reach a fraction of the master size).
-* **histogram**: clipped bincount per partition, summed.
+  partitions, each a sorted sentinel-padded device array of exactly
+  ``part_budget`` width. Drained runs are routed into partitions with
+  one device ``searchsorted`` against the partition boundary keys and
+  merged partition-locally (merge = concat + u64-scan aggregate, exact
+  u32 saturation). Partitions split in half when they outgrow their
+  budget. With the deployment default (``max_agg`` = 2^27) a full
+  1M-read workload is a single drain into a single partition — zero
+  merge traffic.
+* **histogram**: per partition, sort the clipped counts and difference
+  ``searchsorted`` positions at the bin edges (sorts are 24x faster
+  than TPU bincount scatters), then sum partitions.
 * **lookup**: vectorized binary search per partition (a key lives in
   exactly one partition, so per-partition results sum).
-* **primer scan**: forward prefix matches are contiguous ranges of
-  each partition; RC-suffix matches use an elementwise sweep with
-  searchsorted set-membership.
+* **primer scan**: forward prefix matches and RC low-bit matches via
+  ``searchsorted`` set-membership sweeps per partition.
 
 The store keeps identical observable semantics to ops.hashtable
 (canonical u64 keys, exact u32 saturating counts), asserted by
 differential tests, and exposes the same API so the engine and the
 sPCR layer are backend-agnostic.
+
+Replaces the reference's ``KmerCounts`` CPU hash map
+(/root/reference/src/kmer/counting.rs:113).
 """
 
 from __future__ import annotations
@@ -50,11 +58,29 @@ from .hashtable import _histogram_kernel, _revcomp_kernel
 
 EMPTY = np.uint64(KMER_SENTINEL)
 
-# Largest element count a single fused sort/aggregate kernel may see.
-# The remote TPU compiler OOMs above ~2^24 on the deployment target
-# (and compile time grows steeply before that); override with
-# SHARKMER_MAX_AGG when the toolchain allows more.
-MAX_AGG = int(os.environ.get("SHARKMER_MAX_AGG", 1 << 22))
+# Raw-buffer append granularity (elements). Appends dispatch one tiny
+# donated update per tile; 2^18 keeps per-batch dispatch counts in the
+# tens while wasting at most TILE-1 buffer slots per appended batch.
+TILE = 1 << 18
+
+
+def _default_max_agg() -> int:
+    """Largest element count a single fused sort/aggregate kernel sees.
+
+    This is ALSO the raw-buffer width, so it sets the drain cadence and
+    the peak batch memory (8 bytes/element for the buffer plus sort
+    workspace). On the TPU deployment target 2^27 (128M) compiles and
+    runs at full throughput (measured: 1.46 s/drain); host-CPU runs
+    (tests, dev) default much smaller to keep allocations light.
+    """
+    env = os.environ.get("SHARKMER_MAX_AGG")
+    if env:
+        return int(env)
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # no backend yet
+        platform = "cpu"
+    return (1 << 27) if platform == "tpu" else (1 << 22)
 
 
 def _next_pow2(n: int) -> int:
@@ -99,6 +125,61 @@ _aggregate_kernel = functools.partial(jax.jit, donate_argnums=(0, 1))(
 )
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _aggregate_ingest_kernel(kmers):
+    """Fused drain of a raw k-mer buffer (every count implicitly 1).
+
+    Cheaper than ``_aggregate_impl``: the first sort carries no values
+    and the run totals are pure position arithmetic in int32 (a run's
+    total is its length), so the only scan is an int32 cummax. Run
+    totals are bounded by the buffer width (< 2^31), far below u32
+    saturation.
+    """
+    n = kmers.shape[0]
+    sk = jax.lax.sort(kmers)  # sentinels sort to the end
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    last = jnp.concatenate([sk[:-1] != sk[1:], jnp.ones((1,), bool)])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(first, pos, 0))
+    run_total = (pos - run_start + 1).astype(jnp.uint32)
+    keep = last & (sk != jnp.uint64(EMPTY))
+    out_k = jnp.where(keep, sk, jnp.uint64(EMPTY))
+    out_c = jnp.where(keep, run_total, jnp.uint32(0))
+    out_k, out_c = jax.lax.sort((out_k, out_c), num_keys=1)
+    return out_k, out_c, jnp.sum(keep, dtype=jnp.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles",))
+def _pad_tiles_kernel(kmers, n_tiles: int):
+    """Flat k-mers -> [n_tiles, TILE], sentinel-padded at the tail."""
+    pad = n_tiles * TILE - kmers.shape[0]
+    if pad:
+        kmers = jnp.concatenate(
+            [kmers, jnp.full((pad,), jnp.uint64(EMPTY))]
+        )
+    return kmers.reshape(n_tiles, TILE)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_tiles_kernel(buf, tiles, t_start, t_end, offset):
+    """Write tiles [t_start, t_end) of ``tiles`` into ``buf`` starting
+    at ``offset``. ONE dispatch per appended batch: the tile loop runs
+    on device (traced fori_loop bounds), the buffer is donated, and the
+    loop-carried dynamic_update_slice is applied in place by XLA —
+    per-tile host dispatches would pay a full-buffer copy each when the
+    runtime cannot alias the donated buffer."""
+    tile_w = tiles.shape[1]
+
+    def body(t, buf):
+        tile = jax.lax.dynamic_slice(
+            tiles, (t, jnp.int32(0)), (1, tile_w)
+        )[0]
+        off = offset + (t - t_start) * jnp.int32(tile_w)
+        return jax.lax.dynamic_update_slice(buf, tile, (off,))
+
+    return jax.lax.fori_loop(t_start, t_end, body, buf)
+
+
 @functools.partial(jax.jit, static_argnames=("width",))
 def _pad_to_kernel(keys, counts, width: int):
     """Pad (keys, counts) to exactly `width` with sentinels/zeros."""
@@ -118,8 +199,8 @@ def _searchsorted_kernel(keys, bounds):
 
 @jax.jit
 def _merge_kernel(pk, pc, sk, sc):
-    """Merge two equal-width sorted runs: ONE fixed shape on the hot
-    path (2 * part_budget), however the store grows."""
+    """Merge two sorted runs into one aggregated run (exact u32
+    saturation via the u64-scan aggregate)."""
     return _aggregate_impl(
         jnp.concatenate([pk, sk]), jnp.concatenate([pc, sc])
     )
@@ -194,14 +275,14 @@ class _Part:
 
 @dataclass
 class SortedKmerStore:
-    """Partitioned sorted count runs with a backend-standard API."""
+    """Raw-buffered ingest + partitioned sorted master runs."""
 
     k: int
     parts: list = field(default_factory=list)  # ascending key ranges
-    pending: list = field(default_factory=list)  # [(uk, uc, nu), ...]
-    pending_total: int = 0
-    merge_ratio: float = 0.5
-    max_agg: int = MAX_AGG
+    max_agg: int = field(default_factory=_default_max_agg)
+    _buf: jax.Array | None = None  # raw k-mer buffer (lazily allocated)
+    _buf_cap: int = 0
+    _fill: int = 0  # tiles written * tile width (sentinel slack included)
 
     @staticmethod
     def create(k: int, capacity: int = 0, **_ignored) -> "SortedKmerStore":
@@ -219,44 +300,67 @@ class SortedKmerStore:
 
     def insert_kmers(self, kmers, counts=None) -> "SortedKmerStore":
         kmers = jnp.asarray(kmers, dtype=jnp.uint64).reshape(-1)
-        if counts is not None:
-            counts = jnp.asarray(counts, dtype=jnp.uint32).reshape(-1)
-        # sub-batch so no aggregate exceeds the compile ceiling; widths
-        # are power-of-two so at most log2(budget) shapes ever compile
-        step = self.part_budget
+        if int(kmers.shape[0]) == 0:
+            return self
+        if counts is None:
+            self._append_raw(kmers)
+            return self
+        # explicit-count path (checkpoint load, table merges): aggregate
+        # directly in bounded sub-batches and fold into the master
+        counts = jnp.asarray(counts, dtype=jnp.uint32).reshape(-1)
+        step = self.max_agg
         n_in = int(kmers.shape[0])
-        for i in range(0, max(n_in, 1), step):
+        for i in range(0, n_in, step):
             ksub = kmers[i : i + step]
-            if ksub.shape[0] == 0:
-                break
-            size = min(step, _next_pow2(int(ksub.shape[0])))
-            if size != ksub.shape[0]:
-                ksub = jnp.concatenate([
-                    ksub, jnp.full((size - ksub.shape[0],), jnp.uint64(EMPTY)),
-                ])
-            if counts is None:
-                csub = jnp.ones((size,), jnp.uint32)
-            else:
-                csub = counts[i : i + step]
-                if csub.shape[0] != size:
-                    csub = jnp.concatenate([
-                        csub, jnp.zeros((size - csub.shape[0],), jnp.uint32),
-                    ])
+            csub = counts[i : i + step]
+            width = _next_pow2(int(ksub.shape[0]))
+            ksub, csub = _pad_to_kernel(ksub, csub, width)
             uk, uc, nu = _aggregate_kernel(ksub, csub)
-            # nu stays on device: syncing per sub-batch would serialize
-            # every dispatch on a device round-trip. pending_total is an
-            # upper bound (run width), which only affects flush cadence.
-            self.pending.append((uk, uc, nu))
-            self.pending_total += size
-        if self.pending_total >= max(
-            1 << 16, self.merge_ratio * max(self.n_unique_master(), 1)
-        ):
-            self.flush()
+            self._merge_run(uk, uc, int(nu))
         return self
 
     def ingest_codes(self, codes) -> "SortedKmerStore":
         kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)
         return self.insert_kmers(kmers.reshape(-1))
+
+    def _append_raw(self, kmers) -> None:
+        """Tile-append raw k-mers into the device buffer; drain when full."""
+        cap = self._ensure_buffer()
+        tile = min(TILE, cap)
+        n = int(kmers.shape[0])
+        n_tiles = -(-n // tile)
+        # pad the tile COUNT to a power of two so the append kernel
+        # compiles for a handful of shapes only (the pad tiles are
+        # never appended — the loop below runs over real tiles)
+        shape_tiles = _next_pow2(n_tiles)
+        if tile == TILE:
+            tiles = _pad_tiles_kernel(kmers, shape_tiles)
+        else:  # tiny-buffer (test) configuration
+            pad = shape_tiles * tile - n
+            tiles = jnp.concatenate(
+                [kmers, jnp.full((pad,), jnp.uint64(EMPTY))]
+            ).reshape(shape_tiles, tile)
+        appended = 0
+        while appended < n_tiles:
+            space = (cap - self._fill) // tile
+            if space == 0:
+                self._drain()
+                cap = self._ensure_buffer()
+                continue
+            take = min(space, n_tiles - appended)
+            self._buf = _append_tiles_kernel(
+                self._buf, tiles, jnp.int32(appended),
+                jnp.int32(appended + take), jnp.int32(self._fill),
+            )
+            self._fill += take * tile
+            appended += take
+
+    def _ensure_buffer(self) -> int:
+        if self._buf is None:
+            self._buf_cap = max(self.max_agg, 64)
+            self._buf = jnp.full((self._buf_cap,), jnp.uint64(EMPTY))
+            self._fill = 0
+        return self._buf_cap
 
     def n_unique_master(self) -> int:
         return sum(p.n for p in self.parts)
@@ -264,64 +368,53 @@ class SortedKmerStore:
     # -- flush / partition management ----------------------------------------
 
     def flush(self) -> "SortedKmerStore":
-        """Fold all pending runs into the partitioned master (in place).
-
-        Runs are first tree-merged pairwise up to the compile ceiling
-        (width max_agg) so each master partition is touched by as few
-        merge ops as possible — per-op dispatch latency, not element
-        throughput, dominates on a remote device.
-        """
-        if not self.pending:
-            return self
-        pending, self.pending = self.pending, []
-        self.pending_total = 0
-        # consolidate equal-width runs pairwise while the merged sort
-        # stays within the compile ceiling (widths are powers of two)
-        by_width: dict[int, list] = {}
-        for run in pending:
-            by_width.setdefault(int(run[0].shape[0]), []).append(run)
-        w = min(by_width)
-        while 2 * w <= self.max_agg:
-            runs = by_width.get(w, [])
-            while len(runs) >= 2:
-                (ak, ac, _), (bk, bc, _) = runs.pop(), runs.pop()
-                by_width.setdefault(2 * w, []).append(
-                    _merge_kernel(ak, ac, bk, bc)
-                )
-            if not runs:
-                by_width.pop(w, None)
-            w *= 2
-        merged = [r for runs in by_width.values() for r in runs]
-        # ONE device round-trip for every run's occupancy
-        nus = [
-            int(v)
-            for v in np.asarray(jnp.stack([nu for _, _, nu in merged]))
-        ]
-        for (uk, uc, _), nu in zip(merged, nus):
-            self._merge_run(uk, uc, nu)
+        """Drain the raw buffer into the partitioned master (in place)."""
+        self._drain()
         return self
 
+    def _drain(self) -> None:
+        if self._buf is None or self._fill == 0:
+            return
+        # drain only the filled prefix (rounded to a power of two so
+        # partial drains reuse a small set of compiled widths)
+        width = min(self._buf_cap, _next_pow2(self._fill))
+        buf, self._buf = self._buf, None
+        if width != self._buf_cap:
+            buf = jax.lax.slice(buf, (0,), (width,))
+        self._fill = 0
+        uk, uc, nu = _aggregate_ingest_kernel(buf)
+        nu = int(nu)  # one host sync per drain (drains are rare)
+        if nu == 0:
+            return
+        run_w = min(width, _next_pow2(nu))
+        if run_w != width:
+            uk = jax.lax.slice(uk, (0,), (run_w,))
+            uc = jax.lax.slice(uc, (0,), (run_w,))
+        self._merge_run(uk, uc, nu)
+
     def _merge_run(self, uk, uc, nu: int) -> None:
-        """Fold one sorted unique run (width <= part_budget) into the
-        partitioned master.
+        """Fold one sorted unique run into the partitioned master.
 
         Shape discipline: every partition array is physically EXACTLY
         part_budget wide (sentinel-padded past its occupancy), so the
         whole lifetime of the store compiles a constant set of XLA
         programs: one 2*budget merge, one budget histogram/lookup, and
-        at most log2(budget) run-width variants. Data-dependent widths
-        here previously caused a fresh (remote) compile per merge.
+        at most log2(budget) run-width variants.
         """
         W = self.part_budget
         if nu == 0:
             return
         if not self.parts:
             # seed the master from the run's first W-slice; the tail of
-            # a wider (tree-merged) run folds in through the merge path.
-            # part 0's lower bound is never consulted (it catches all
-            # keys below the second partition).
+            # a wider run folds in through the merge path. part 0's
+            # lower bound is never consulted (it catches all keys below
+            # the second partition). Partitions start at the smallest
+            # power-of-two width that holds their occupancy and grow by
+            # doubling (up to W), so small workloads never touch the
+            # deployment-scale shapes.
             head = min(nu, W)
-            sk, sc = _slice_run_kernel(uk, uc, 0, head, W)
+            width = min(W, _next_pow2(head))
+            sk, sc = _slice_run_kernel(uk, uc, 0, head, width)
             self.parts = [_Part(sk, sc, head, 0)]
             if nu <= W:
                 return
@@ -329,7 +422,9 @@ class SortedKmerStore:
             pos = head
             while pos < nu:
                 size = min(W, nu - pos)
-                sk, sc = _slice_run_kernel(uk, uc, pos, size, W)
+                sk, sc = _slice_run_kernel(
+                    uk, uc, pos, size, min(W, _next_pow2(size))
+                )
                 target = self._merge_into_part(target, sk, sc)
                 pos += size
             return
@@ -356,18 +451,20 @@ class SortedKmerStore:
         # pre-flush boundaries, so each segment's owner object is fixed
         targets = list(self.parts)
         for part, seg_start, seg_end in zip(targets, starts, ends):
-            # wide (tree-merged) runs can put more than W keys in one
-            # partition's range: merge W-slices in ascending order,
-            # threading the tail-owning partition through any splits
+            # wide runs can put more than W keys in one partition's
+            # range: merge W-slices in ascending order, threading the
+            # tail-owning partition through any splits
             target, pos = part, seg_start
             while pos < seg_end:
                 size = min(W, seg_end - pos)
-                sk, sc = _slice_run_kernel(uk, uc, pos, size, W)
+                sk, sc = _slice_run_kernel(
+                    uk, uc, pos, size, min(W, _next_pow2(size))
+                )
                 target = self._merge_into_part(target, sk, sc)
                 pos += size
 
     def _merge_into_part(self, part: _Part, sk, sc) -> "_Part":
-        """Merge a W-wide sorted slice into `part`; split if overfull.
+        """Merge a sorted slice into `part`; grow or split if overfull.
         Returns the partition now owning the TOP of part's key range
         (the right half after a split), so callers merging ascending
         slices can keep targeting the correct partition."""
@@ -375,17 +472,23 @@ class SortedKmerStore:
         p_idx = next(i for i, p in enumerate(self.parts) if p is part)
         mk, mc, mn = _merge_kernel(part.kmers, part.counts, sk, sc)
         mn = int(mn)
+        merged_w = int(mk.shape[0])
         if mn <= W:
-            new = _Part(
-                jax.lax.slice(mk, (0,), (W,)),
-                jax.lax.slice(mc, (0,), (W,)),
-                mn,
-                part.first_key,
-            )
+            # keep the partition at the smallest power-of-two width
+            # that holds it (never shrink: widths only ratchet up)
+            width = min(W, max(int(part.kmers.shape[0]), _next_pow2(mn)))
+            if width >= merged_w:
+                nk, nc = _pad_to_kernel(mk, mc, width)
+            else:
+                nk = jax.lax.slice(mk, (0,), (width,))
+                nc = jax.lax.slice(mc, (0,), (width,))
+            new = _Part(nk, nc, mn, part.first_key)
             self.parts[p_idx] = new
             return new
-        # overfull: split at the width midpoint. Both merge inputs hold
+        # overfull: split at the budget midpoint. Both merge inputs hold
         # <= W uniques, so mn <= 2W and each half fits the budget.
+        if merged_w < 2 * W:
+            mk, mc = _pad_to_kernel(mk, mc, 2 * W)
         lk = jax.lax.slice(mk, (0,), (W,))
         lc = jax.lax.slice(mc, (0,), (W,))
         rk = jax.lax.slice(mk, (W,), (2 * W,))
@@ -399,8 +502,7 @@ class SortedKmerStore:
     # -- queries --------------------------------------------------------------
 
     def _flushed(self) -> "SortedKmerStore":
-        if self.pending:
-            self.flush()
+        self._drain()
         return self
 
     def lookup(self, queries) -> jax.Array:
