@@ -1,0 +1,163 @@
+"""Pallas TPU kernels for the sorted-store hot path.
+
+The drain pipeline is sort -> run-length-encode -> compact. The RLE
+step needs, for every element of the sorted key array, the position of
+the start of its equal-key run (``run_start``): run totals are then
+``pos - run_start + 1`` at run-last positions. In XLA this is a
+``cummax`` over run-start positions — a multi-pass log-depth scan over
+HBM. Here it is ONE Pallas pass plus a trivial stitch:
+
+* the flat key array is viewed as ``[rows, 512]``; each grid step
+  loads an ``[R, 512]`` tile of the hi/lo u32 planes of the keys
+  (Mosaic has no u64 registers — the planes are split outside, and
+  equality of u64 keys is equality of both planes);
+* run-start flags compare each element against its flat predecessor
+  (a lane shift that wraps the previous row's tail; the tile boundary
+  reads the previous tile's last row through a second BlockSpec on
+  the same array — the deployment toolchain cannot compile SMEM
+  writes under a grid, so there is no sequential carry);
+* the tile-local flat running max of ``first ? pos : -1`` is built
+  from log2(512) shifted-max steps (window = one full row) plus a
+  log2(R) cross-row prefix fix;
+* the host-side wrapper stitches tiles with an XLA ``cummax`` over
+  the per-tile maxima (one tiny [n_tiles] scan) and a fused
+  elementwise max — every element's run start is in its own tile or
+  summarized by a whole earlier tile, so the stitch is exact.
+
+Used only on TPU for large drains; the XLA ``cummax`` formulation
+remains the fallback (and the differential oracle in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas TPU lowering may be absent on host-only builds
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+LANES = 512  # flat elements per row
+
+
+if HAVE_PALLAS:
+
+    def _shift_right_flat(v, s: int, fill):
+        """Shift a [R, LANES] tile right by s positions (s < LANES) in
+        FLAT row-major order, filling vacated leading slots with `fill`.
+
+        Uses pltpu.roll for the cross-row wrap: Mosaic cannot
+        concatenate narrow (width-1) vectors along the row axis."""
+        R = v.shape[0]
+        prev_row = pltpu.roll(v, shift=jnp.int32(1), axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        prev_row = jnp.where(row == 0, fill, prev_row)
+        return jnp.concatenate(
+            [prev_row[:, LANES - s :], v[:, : LANES - s]], axis=1
+        )
+
+    def _run_start_kernel(hi_ref, lo_ref, hi_b_ref, lo_b_ref, out_ref):
+        R = hi_ref.shape[0]
+        step = pl.program_id(0)
+
+        hi = hi_ref[:]
+        lo = lo_ref[:]
+
+        # flat predecessor of every element; slot (0, 0) comes from the
+        # previous tile's last element (boundary refs)
+        prev_hi = _shift_right_flat(hi, 1, jnp.uint32(0))
+        prev_lo = _shift_right_flat(lo, 1, jnp.uint32(0))
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        at00 = (row == 0) & (col == 0)
+        prev_hi = jnp.where(at00, hi_b_ref[0, LANES - 1], prev_hi)
+        prev_lo = jnp.where(at00, lo_b_ref[0, LANES - 1], prev_lo)
+
+        base = step * (R * LANES)
+        pos = base + row * LANES + col
+        # element 0 of the whole array is always a run start (its
+        # boundary ref is a clamped self-read)
+        first = (hi != prev_hi) | (lo != prev_lo) | (pos == 0)
+        v = jnp.where(first, pos, jnp.int32(-1))
+
+        # running max in flat order: lane-shift steps cover a window of
+        # exactly one row (512) ...
+        s = 1
+        while s < LANES:
+            v = jnp.maximum(v, _shift_right_flat(v, s, jnp.int32(-1)))
+            s *= 2
+        # ... so each row's max is the max over that row alone; an
+        # inclusive cummax over row maxima, shifted down one row,
+        # extends every element's window to the whole tile prefix
+        row_max = jnp.broadcast_to(
+            jnp.max(v, axis=1, keepdims=True), (R, LANES)
+        )
+        s = 1
+        while s < R:
+            shifted = jnp.where(
+                row < s,
+                jnp.int32(-1),
+                pltpu.roll(row_max, shift=jnp.int32(s), axis=0),
+            )
+            row_max = jnp.maximum(row_max, shifted)
+            s *= 2
+        row_carry = jnp.where(
+            row == 0,
+            jnp.int32(-1),
+            pltpu.roll(row_max, shift=jnp.int32(1), axis=0),
+        )
+        out_ref[:] = jnp.maximum(v, row_carry)
+
+    @functools.partial(jax.jit, static_argnames=("rows_per_tile",))
+    def run_starts(sorted_keys, rows_per_tile: int = 256):
+        """Position of each element's equal-key run start, for a SORTED
+        u64 key array whose length is a multiple of rows_per_tile*512.
+
+        Every run start within a tile is exact from the kernel; a run
+        that began in an earlier tile has its start position equal to
+        the running max of earlier tiles' maxima, stitched here with
+        one tiny XLA scan over [n_tiles].
+        """
+        n = sorted_keys.shape[0]
+        R = rows_per_tile
+        tile = R * LANES
+        if n % tile:
+            raise ValueError(f"length {n} not a multiple of tile {tile}")
+        n_tiles = n // tile
+        hi = (sorted_keys >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = sorted_keys.astype(jnp.uint32)
+        hi = hi.reshape(n // LANES, LANES)
+        lo = lo.reshape(n // LANES, LANES)
+
+        spec = pl.BlockSpec(
+            (R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        # previous tile's last row (clamped self-read at i == 0; the
+        # kernel overrides element 0 via the pos == 0 rule)
+        bspec = pl.BlockSpec(
+            (1, LANES),
+            lambda i: (jnp.maximum(i * R - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+        local = pl.pallas_call(
+            _run_start_kernel,
+            grid=(n_tiles,),
+            in_specs=[spec, spec, bspec, bspec],
+            out_specs=pl.BlockSpec(
+                (R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
+        )(hi, lo, hi, lo)
+
+        local = local.reshape(n_tiles, tile)
+        tile_max = jnp.max(local, axis=1)
+        carry = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(tile_max)[:-1]]
+        )
+        return jnp.maximum(local, carry[:, None]).reshape(-1)
