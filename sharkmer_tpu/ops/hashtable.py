@@ -135,7 +135,7 @@ def _insert_kernel_exact(keys, counts, kmers, add_counts):
     mask = jnp.uint64(capacity - 1)
 
     # --- aggregate duplicates: sort + run-length encode -------------------
-    sk = jax.lax.sort(kmers)  # sentinels sort to the end
+    sk = jax.lax.sort(kmers, is_stable=False)  # sentinels sort to the end
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
     ) & (sk != EMPTY)
@@ -192,7 +192,7 @@ def add_counts_sorted(sorted_kmers, kmers, add_counts):
     """
     if add_counts is None:
         return jnp.ones(sorted_kmers.shape, jnp.uint64)
-    _, sorted_counts = jax.lax.sort((kmers, add_counts.astype(jnp.uint64)), num_keys=1)
+    _, sorted_counts = jax.lax.sort((kmers, add_counts.astype(jnp.uint64)), num_keys=1, is_stable=False)
     return sorted_counts
 
 
@@ -232,7 +232,7 @@ def _histogram_kernel(counts, histo_max: int):
     positions at the bin edges. On TPU this runs ~24x faster than a
     bincount (bincount lowers to a serialized scatter-add; measured
     14M el/s vs 336M el/s for the sort at 2^26)."""
-    clipped = jax.lax.sort(jnp.minimum(counts, jnp.uint32(histo_max + 1)))
+    clipped = jax.lax.sort(jnp.minimum(counts, jnp.uint32(histo_max + 1)), is_stable=False)
     edges = jnp.arange(histo_max + 3, dtype=jnp.uint32)
     pos = jnp.searchsorted(clipped, edges)
     histo = (pos[1:] - pos[:-1]).astype(jnp.uint64)

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:  # pallas TPU lowering may be absent on host-only builds
     from jax.experimental import pallas as pl
@@ -76,8 +77,8 @@ if HAVE_PALLAS:
         row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         at00 = (row == 0) & (col == 0)
-        prev_hi = jnp.where(at00, hi_b_ref[0, LANES - 1], prev_hi)
-        prev_lo = jnp.where(at00, lo_b_ref[0, LANES - 1], prev_lo)
+        prev_hi = jnp.where(at00, hi_b_ref[7, LANES - 1], prev_hi)
+        prev_lo = jnp.where(at00, lo_b_ref[7, LANES - 1], prev_lo)
 
         base = step * (R * LANES)
         pos = base + row * LANES + col
@@ -114,8 +115,11 @@ if HAVE_PALLAS:
         )
         out_ref[:] = jnp.maximum(v, row_carry)
 
-    @functools.partial(jax.jit, static_argnames=("rows_per_tile",))
-    def run_starts(sorted_keys, rows_per_tile: int = 256):
+    @functools.partial(
+        jax.jit, static_argnames=("rows_per_tile", "interpret")
+    )
+    def run_starts(sorted_keys, rows_per_tile: int = 256,
+                   interpret: bool = False):
         """Position of each element's equal-key run start, for a SORTED
         u64 key array whose length is a multiple of rows_per_tile*512.
 
@@ -123,6 +127,9 @@ if HAVE_PALLAS:
         that began in an earlier tile has its start position equal to
         the running max of earlier tiles' maxima, stitched here with
         one tiny XLA scan over [n_tiles].
+
+        ``interpret=True`` runs the kernel in the Pallas interpreter
+        (for differential tests on host CPUs without a TPU).
         """
         n = sorted_keys.shape[0]
         R = rows_per_tile
@@ -135,14 +142,25 @@ if HAVE_PALLAS:
         hi = hi.reshape(n // LANES, LANES)
         lo = lo.reshape(n // LANES, LANES)
 
+        # index maps return explicit int32 (concrete numpy scalars —
+        # they may not capture tracers, and under jax_enable_x64 a bare
+        # python 0 lowers to i64, which Mosaic fails to legalize)
+        zero = np.int32(0)
         spec = pl.BlockSpec(
-            (R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (R, LANES), lambda i: (i, zero), memory_space=pltpu.VMEM
         )
-        # previous tile's last row (clamped self-read at i == 0; the
-        # kernel overrides element 0 via the pos == 0 rule)
+        # 8-row block ending at the previous tile's last row (Mosaic
+        # requires sublane-divisible blocks; row 7 of this block is the
+        # boundary row). Clamped self-read at i == 0 — the kernel
+        # overrides element 0 via the pos == 0 rule.
+        if R % 8:
+            raise ValueError("rows_per_tile must be a multiple of 8")
         bspec = pl.BlockSpec(
-            (1, LANES),
-            lambda i: (jnp.maximum(i * R - 1, 0), 0),
+            (8, LANES),
+            lambda i: (
+                jnp.maximum(i * np.int32(R // 8) - np.int32(1), zero),
+                zero,
+            ),
             memory_space=pltpu.VMEM,
         )
         local = pl.pallas_call(
@@ -150,9 +168,10 @@ if HAVE_PALLAS:
             grid=(n_tiles,),
             in_specs=[spec, spec, bspec, bspec],
             out_specs=pl.BlockSpec(
-                (R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (R, LANES), lambda i: (i, zero), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
+            interpret=interpret,
         )(hi, lo, hi, lo)
 
         local = local.reshape(n_tiles, tile)

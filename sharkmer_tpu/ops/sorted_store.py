@@ -2,8 +2,8 @@
 
 Hash tables are hostile to TPUs: every insert is a random HBM
 gather/scatter, and probe loops pay the full batch width every round.
-Measured on the deployment chip (v5e class), XLA key-value sorts run
-at 225-290M u64/s from 2^21 up to 2^27 elements, while scattered probe
+Measured on the deployment chip (v5e class), XLA unstable sorts run at
+317M u64/s (233M/s key-value) at 2^26 elements, while scattered probe
 rounds and bincount scatters crawl at 14-34M/s. So the TPU count path
 is built entirely from sorts and scans (the same reasoning that leads
 GPU k-mer counters to sort-based designs):
@@ -13,10 +13,12 @@ GPU k-mer counters to sort-based designs):
   per tile — pure HBM bandwidth, no sort, no sync). Ingest therefore
   costs ~nothing until the buffer fills.
 * **drain (the workhorse)**: ONE fused kernel over the whole buffer:
-  u64 key sort -> run-length encode with an int32 cummax (counts are
-  implicit ones, so run totals are position arithmetic — no u64
-  scans) -> compact survivors to the front with one key-value sort.
-  Measured 92-102M k-mers/s at 2^26..2^27 widths on the target chip.
+  u64 key sort (is_stable=False: 1.4x a stable sort, and equal keys
+  are interchangeable here) -> run-length encode (on TPU a single
+  Pallas VMEM pass, ``pallas_kernels.run_starts``, ~1.9G el/s; the
+  XLA int32 cummax is the fallback and test oracle) -> compact
+  survivors to the front with one unstable key-value sort.
+  Measured 137-145M k-mers/s at 2^23..2^26 widths on the target chip.
 * **partitioned master**: the master is a list of disjoint key-range
   partitions, each a sorted sentinel-padded device array of exactly
   ``part_budget`` width. Drained runs are routed into partitions with
@@ -64,6 +66,18 @@ EMPTY = np.uint64(KMER_SENTINEL)
 TILE = 1 << 18
 
 
+@functools.lru_cache(maxsize=None)
+def _platform() -> str:
+    """Default-backend platform; cached after the first (intentional)
+    backend initialization. Only called lazily — from the first buffer
+    allocation or drain — so constructing a store never pins the JAX
+    platform before e.g. the multichip dryrun reconfigures it."""
+    try:
+        return jax.devices()[0].platform
+    except Exception:  # no backend / backend init failure
+        return "cpu"
+
+
 def _default_max_agg() -> int:
     """Largest element count a single fused sort/aggregate kernel sees.
 
@@ -76,15 +90,20 @@ def _default_max_agg() -> int:
     env = os.environ.get("SHARKMER_MAX_AGG")
     if env:
         return int(env)
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:  # no backend yet
-        platform = "cpu"
-    return (1 << 27) if platform == "tpu" else (1 << 22)
+    return (1 << 27) if _platform() == "tpu" else (1 << 22)
 
 
 def _next_pow2(n: int) -> int:
+    """Power-of-two ELEMENT width; floored at 64 so tiny arrays stay on
+    lane-aligned shapes."""
     return 1 << max(6, (int(n) - 1).bit_length())
+
+
+def _next_pow2_count(n: int) -> int:
+    """Unfloored power of two — for TILE counts and other quantities
+    that are already coarse-grained (a 64-tile floor would turn a
+    one-tile append into a 128 MB allocation)."""
+    return 1 << max(0, (int(n) - 1).bit_length())
 
 
 def _aggregate_impl(kmers, counts):
@@ -93,7 +112,7 @@ def _aggregate_impl(kmers, counts):
 
     Returns (unique_kmers, totals, n_unique) — same width as the input.
     """
-    sk, sc = jax.lax.sort((kmers, counts), num_keys=1)
+    sk, sc = jax.lax.sort((kmers, counts), num_keys=1, is_stable=False)
     sc = sc.astype(jnp.uint64)
 
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
@@ -115,7 +134,7 @@ def _aggregate_impl(kmers, counts):
     out_k = jnp.where(keep, sk, jnp.uint64(EMPTY))
     out_c = jnp.where(keep, run_total, 0).astype(jnp.uint32)
     # compact: sentinels sort to the end; unique keys stay ascending
-    out_k, out_c = jax.lax.sort((out_k, out_c), num_keys=1)
+    out_k, out_c = jax.lax.sort((out_k, out_c), num_keys=1, is_stable=False)
     n_unique = jnp.sum(keep, dtype=jnp.int64)
     return out_k, out_c, n_unique
 
@@ -125,28 +144,61 @@ _aggregate_kernel = functools.partial(jax.jit, donate_argnums=(0, 1))(
 )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _aggregate_ingest_kernel(kmers):
+def _aggregate_ingest_impl(kmers, use_pallas: bool):
     """Fused drain of a raw k-mer buffer (every count implicitly 1).
 
     Cheaper than ``_aggregate_impl``: the first sort carries no values
     and the run totals are pure position arithmetic in int32 (a run's
-    total is its length), so the only scan is an int32 cummax. Run
-    totals are bounded by the buffer width (< 2^31), far below u32
-    saturation.
+    total is its length), so the only scan is an int32 cummax — or, on
+    TPU, ONE Pallas VMEM pass (``pallas_kernels.run_starts``) instead
+    of the multi-pass XLA scan. Run totals are bounded by the buffer
+    width (< 2^31), far below u32 saturation.
     """
     n = kmers.shape[0]
-    sk = jax.lax.sort(kmers)  # sentinels sort to the end
-    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    sk = jax.lax.sort(kmers, is_stable=False)  # sentinels sort to the end
     last = jnp.concatenate([sk[:-1] != sk[1:], jnp.ones((1,), bool)])
     pos = jnp.arange(n, dtype=jnp.int32)
-    run_start = jax.lax.cummax(jnp.where(first, pos, 0))
+    if use_pallas:
+        from . import pallas_kernels
+
+        run_start = pallas_kernels.run_starts(sk)
+    else:
+        first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        run_start = jax.lax.cummax(jnp.where(first, pos, 0))
     run_total = (pos - run_start + 1).astype(jnp.uint32)
     keep = last & (sk != jnp.uint64(EMPTY))
     out_k = jnp.where(keep, sk, jnp.uint64(EMPTY))
     out_c = jnp.where(keep, run_total, jnp.uint32(0))
-    out_k, out_c = jax.lax.sort((out_k, out_c), num_keys=1)
+    out_k, out_c = jax.lax.sort((out_k, out_c), num_keys=1, is_stable=False)
     return out_k, out_c, jnp.sum(keep, dtype=jnp.int64)
+
+
+_aggregate_ingest_jit = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("use_pallas",)
+)(_aggregate_ingest_impl)
+
+
+def _pallas_drain_enabled() -> bool:
+    env = os.environ.get("SHARKMER_PALLAS_DRAIN")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return _platform() == "tpu"
+
+
+def _aggregate_ingest_kernel(kmers):
+    """Drain dispatch: the Pallas run-start kernel serves widths that
+    tile evenly (every production width — buffers are powers of two at
+    least 2^17); other widths and non-TPU platforms use the XLA cummax
+    formulation, which is also the differential oracle in tests."""
+    from .pallas_kernels import HAVE_PALLAS, LANES
+
+    tile = 256 * LANES
+    use_pallas = (
+        HAVE_PALLAS
+        and kmers.shape[0] % tile == 0
+        and _pallas_drain_enabled()
+    )
+    return _aggregate_ingest_jit(kmers, use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles",))
@@ -279,7 +331,9 @@ class SortedKmerStore:
 
     k: int
     parts: list = field(default_factory=list)  # ascending key ranges
-    max_agg: int = field(default_factory=_default_max_agg)
+    # 0 = auto (resolved lazily via _resolved_max_agg so that merely
+    # constructing a store never initializes the JAX backend)
+    max_agg: int = 0
     _buf: jax.Array | None = None  # raw k-mer buffer (lazily allocated)
     _buf_cap: int = 0
     _fill: int = 0  # tiles written * tile width (sentinel slack included)
@@ -292,9 +346,14 @@ class SortedKmerStore:
     def capacity(self) -> int:
         return sum(p.kmers.shape[0] for p in self.parts)
 
+    def _resolved_max_agg(self) -> int:
+        if self.max_agg == 0:
+            self.max_agg = _default_max_agg()
+        return self.max_agg
+
     @property
     def part_budget(self) -> int:
-        return self.max_agg // 2
+        return self._resolved_max_agg() // 2
 
     # -- ingest --------------------------------------------------------------
 
@@ -308,7 +367,7 @@ class SortedKmerStore:
         # explicit-count path (checkpoint load, table merges): aggregate
         # directly in bounded sub-batches and fold into the master
         counts = jnp.asarray(counts, dtype=jnp.uint32).reshape(-1)
-        step = self.max_agg
+        step = self._resolved_max_agg()
         n_in = int(kmers.shape[0])
         for i in range(0, n_in, step):
             ksub = kmers[i : i + step]
@@ -332,7 +391,7 @@ class SortedKmerStore:
         # pad the tile COUNT to a power of two so the append kernel
         # compiles for a handful of shapes only (the pad tiles are
         # never appended — the loop below runs over real tiles)
-        shape_tiles = _next_pow2(n_tiles)
+        shape_tiles = _next_pow2_count(n_tiles)
         if tile == TILE:
             tiles = _pad_tiles_kernel(kmers, shape_tiles)
         else:  # tiny-buffer (test) configuration
@@ -357,7 +416,7 @@ class SortedKmerStore:
 
     def _ensure_buffer(self) -> int:
         if self._buf is None:
-            self._buf_cap = max(self.max_agg, 64)
+            self._buf_cap = max(self._resolved_max_agg(), 64)
             self._buf = jnp.full((self._buf_cap,), jnp.uint64(EMPTY))
             self._fill = 0
         return self._buf_cap
@@ -395,11 +454,12 @@ class SortedKmerStore:
     def _merge_run(self, uk, uc, nu: int) -> None:
         """Fold one sorted unique run into the partitioned master.
 
-        Shape discipline: every partition array is physically EXACTLY
-        part_budget wide (sentinel-padded past its occupancy), so the
-        whole lifetime of the store compiles a constant set of XLA
-        programs: one 2*budget merge, one budget histogram/lookup, and
-        at most log2(budget) run-width variants.
+        Shape discipline: every partition array is sentinel-padded to a
+        power-of-two width that ratchets up from _next_pow2(occupancy)
+        by doubling, capped at part_budget (see _merge_into_part), so
+        the whole lifetime of the store compiles a bounded set of XLA
+        programs — at most log2(budget) merge/histogram/lookup widths —
+        and small workloads never touch the deployment-scale shapes.
         """
         W = self.part_budget
         if nu == 0:

@@ -1,0 +1,109 @@
+"""Differential tests for the Pallas drain kernels.
+
+On the CPU test platform the kernels run in the Pallas interpreter;
+the oracle is the XLA ``lax.cummax`` formulation the kernel replaces
+on TPU (the dual-path pattern of /root/reference/src/kmer/encoding.rs:4-23
+applied to the drain's run-length-encode step).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sharkmer_tpu.ops import pallas_kernels
+from sharkmer_tpu.ops.sorted_store import (
+    EMPTY,
+    _aggregate_ingest_impl,
+)
+
+pytestmark = pytest.mark.skipif(
+    not pallas_kernels.HAVE_PALLAS, reason="pallas not importable"
+)
+
+TILE = 256 * pallas_kernels.LANES  # default kernel tile (131072)
+
+
+def _oracle_run_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """XLA formulation: cummax over run-start positions."""
+    sk = jnp.asarray(sorted_keys)
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    pos = jnp.arange(sk.shape[0], dtype=jnp.int32)
+    return np.asarray(jax.lax.cummax(jnp.where(first, pos, 0)))
+
+
+def _sorted_keys_with_runs(n: int, n_distinct: int, seed: int,
+                           sentinel_tail: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 1 << 62, size=n_distinct, dtype=np.uint64)
+    draw = rng.choice(keys, size=n - sentinel_tail)
+    out = np.sort(draw)
+    if sentinel_tail:
+        out = np.concatenate(
+            [out, np.full(sentinel_tail, EMPTY, np.uint64)]
+        )
+    return out
+
+
+@pytest.mark.parametrize("n_tiles", [1, 2, 4])
+def test_run_starts_matches_cummax(n_tiles):
+    n = n_tiles * TILE
+    sk = _sorted_keys_with_runs(n, n // 3, seed=n_tiles,
+                                sentinel_tail=n // 7)
+    got = np.asarray(
+        pallas_kernels.run_starts(jnp.asarray(sk), interpret=True)
+    )
+    np.testing.assert_array_equal(got, _oracle_run_starts(sk))
+
+
+def test_run_starts_edge_cases():
+    # all-equal keys: one run spanning every tile boundary
+    sk = np.zeros(2 * TILE, np.uint64)
+    got = np.asarray(
+        pallas_kernels.run_starts(jnp.asarray(sk), interpret=True)
+    )
+    np.testing.assert_array_equal(got, np.zeros(2 * TILE, np.int32))
+
+    # all-distinct keys: every element is its own run start
+    sk = np.arange(TILE, dtype=np.uint64)
+    got = np.asarray(
+        pallas_kernels.run_starts(jnp.asarray(sk), interpret=True)
+    )
+    np.testing.assert_array_equal(got, np.arange(TILE, dtype=np.int32))
+
+    # runs that straddle exactly the tile boundary
+    sk = np.repeat(
+        np.arange(TILE // 2, dtype=np.uint64), 4
+    )  # length 2*TILE, runs of 4
+    got = np.asarray(
+        pallas_kernels.run_starts(jnp.asarray(sk), interpret=True)
+    )
+    np.testing.assert_array_equal(got, _oracle_run_starts(sk))
+
+
+def test_run_starts_rejects_untiled_width():
+    with pytest.raises(ValueError):
+        pallas_kernels.run_starts(
+            jnp.zeros(TILE + 1, jnp.uint64), interpret=True
+        )
+
+
+def test_drain_pallas_matches_xla(monkeypatch):
+    """Full drain equivalence: the Pallas run-start path must produce
+    bit-identical (keys, counts, n_unique) to the XLA cummax path."""
+    monkeypatch.setattr(
+        pallas_kernels,
+        "run_starts",
+        functools.partial(pallas_kernels.run_starts, interpret=True),
+    )
+    rng = np.random.default_rng(99)
+    buf = _sorted_keys_with_runs(TILE, TILE // 4, seed=9,
+                                 sentinel_tail=TILE // 5)
+    rng.shuffle(buf)  # drains sort internally
+    k_p, c_p, n_p = _aggregate_ingest_impl(jnp.asarray(buf), True)
+    k_x, c_x, n_x = _aggregate_ingest_impl(jnp.asarray(buf), False)
+    assert int(n_p) == int(n_x)
+    np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_x))
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
