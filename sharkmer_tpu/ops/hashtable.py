@@ -435,22 +435,24 @@ class KmerTable:
         )
         fwd = np.sort(oligos)
         rc_table = _revcomp_kernel(self.keys, self.k)
-        kmers, counts, n = _prefix_scan_kernel(
-            self.keys,
-            self.counts,
-            jnp.asarray(fwd),
-            jnp.asarray(rc),
-            rc_table,
-            2 * (self.k - oligo_len),
-            2 * oligo_len,
-            max_out,
-            jnp.uint32(min_count),
-        )
-        n = int(n)
-        if n > max_out:
-            raise RuntimeError(
-                f"primer scan overflow: {n} matches > max_out {max_out}"
+        # grow-and-retry on overflow: a degenerate oligo matching more
+        # than max_out table entries must not kill the gene
+        while True:
+            kmers, counts, n = _prefix_scan_kernel(
+                self.keys,
+                self.counts,
+                jnp.asarray(fwd),
+                jnp.asarray(rc),
+                rc_table,
+                2 * (self.k - oligo_len),
+                2 * oligo_len,
+                max_out,
+                jnp.uint32(min_count),
             )
+            n = int(n)
+            if n <= max_out:
+                break
+            max_out = 1 << (n - 1).bit_length()
         return np.asarray(kmers[:n]), np.asarray(counts[:n])
 
     # -- host export (tests / small tables) --------------------------------

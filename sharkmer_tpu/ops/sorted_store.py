@@ -631,16 +631,20 @@ class SortedKmerStore:
         all_k, all_c = [np.zeros(0, np.uint64)], [np.zeros(0, np.uint32)]
         for p in s.parts:
             rc_table = _revcomp_kernel(p.kmers, s.k)
-            kmers, counts, nm = _prefix_scan_sorted_kernel(
-                p.kmers, p.counts, rc_table, jnp.asarray(fwd),
-                jnp.asarray(rc), 2 * (s.k - oligo_len), 2 * oligo_len,
-                max_out, jnp.uint32(min_count),
-            )
-            nm = int(nm)
-            if nm > max_out:
-                raise RuntimeError(
-                    f"primer scan overflow: {nm} matches > max_out {max_out}"
+            # degenerate (low-complexity) oligos can match more table
+            # entries than the output width: grow and retry rather than
+            # fail the gene (recompiles once per doubled width — rare)
+            cur_max = max_out
+            while True:
+                kmers, counts, nm = _prefix_scan_sorted_kernel(
+                    p.kmers, p.counts, rc_table, jnp.asarray(fwd),
+                    jnp.asarray(rc), 2 * (s.k - oligo_len), 2 * oligo_len,
+                    cur_max, jnp.uint32(min_count),
                 )
+                nm = int(nm)
+                if nm <= cur_max:
+                    break
+                cur_max = _next_pow2_count(nm)
             # full-width transfer + host slice: device slices of
             # data-dependent width would compile per distinct nm
             all_k.append(np.asarray(kmers)[:nm])

@@ -289,14 +289,18 @@ class ShardedKmerTable:
             keys_s = self.keys[s]
             counts_s = self.counts[s]
             rc_table = ht._revcomp_kernel(keys_s, self.k)
-            kmers, counts, nm = ht._prefix_scan_kernel(
-                keys_s, counts_s, jnp.asarray(fwd), jnp.asarray(rc), rc_table,
-                2 * (self.k - oligo_len), 2 * oligo_len, max_out,
-                jnp.uint32(min_count),
-            )
-            nm = int(nm)
-            if nm > max_out:
-                raise RuntimeError("primer scan overflow")
+            # grow-and-retry on overflow (degenerate oligos)
+            cur_max = max_out
+            while True:
+                kmers, counts, nm = ht._prefix_scan_kernel(
+                    keys_s, counts_s, jnp.asarray(fwd), jnp.asarray(rc),
+                    rc_table, 2 * (self.k - oligo_len), 2 * oligo_len,
+                    cur_max, jnp.uint32(min_count),
+                )
+                nm = int(nm)
+                if nm <= cur_max:
+                    break
+                cur_max = 1 << (nm - 1).bit_length()
             all_kmers.append(np.asarray(kmers[:nm]))
             all_counts.append(np.asarray(counts[:nm]))
         return np.concatenate(all_kmers), np.concatenate(all_counts)

@@ -305,14 +305,18 @@ class ShardedSortedStore:
             keys_i = s.kmers[i]
             counts_i = s.counts[i]
             rc_table = ht._revcomp_kernel(keys_i, s.k)
-            kk, cc, nm = _prefix_scan_sorted_kernel(
-                keys_i, counts_i, rc_table, jnp.asarray(fwd), jnp.asarray(rc),
-                2 * (s.k - oligo_len), 2 * oligo_len, max_out,
-                jnp.uint32(min_count),
-            )
-            nm = int(nm)
-            if nm > max_out:
-                raise RuntimeError("primer scan overflow")
+            # grow-and-retry on overflow (degenerate oligos)
+            cur_max = max_out
+            while True:
+                kk, cc, nm = _prefix_scan_sorted_kernel(
+                    keys_i, counts_i, rc_table, jnp.asarray(fwd),
+                    jnp.asarray(rc), 2 * (s.k - oligo_len), 2 * oligo_len,
+                    cur_max, jnp.uint32(min_count),
+                )
+                nm = int(nm)
+                if nm <= cur_max:
+                    break
+                cur_max = 1 << (nm - 1).bit_length()
             all_k.append(np.asarray(kk[:nm]))
             all_c.append(np.asarray(cc[:nm]))
         return np.concatenate(all_k), np.concatenate(all_c)

@@ -287,10 +287,8 @@ def extend_graph(
         if graph.nodes[nid].is_end:
             wave.append((nid, REV))
 
-    processed = ({}, {})  # dir -> set-like dict of processed node ids
     processed_fwd: set[int] = set()
     processed_rev: set[int] = set()
-    del processed
     added_by_fwd: set[int] = set()
     added_by_rev: set[int] = set()
     for nid in graph.node_ids():

@@ -245,3 +245,33 @@ def test_partition_splitting_differential():
     for q, g in zip(queries.tolist(), got.tolist()):
         canon = min(q, revcomp_kmer(q, 21))
         assert g == model.get(canon, model.get(q, 0)) or g == model.get(q, 0)
+
+
+def test_prefix_scan_overflow_grows_and_retries():
+    """A low-complexity oligo matching more table entries than max_out
+    must grow the output width and complete, not raise
+    (VERDICT round 1, item 7)."""
+    k = 9
+    olen = 3
+    oligo = seq_to_kmer("AAA")
+    # many distinct k-mers all starting with AAA (canonical: keep kmers
+    # whose forward form is already canonical)
+    kmers = [(int(oligo) << (2 * (k - olen))) | low for low in range(64)]
+    store = SortedKmerStore.create(k)
+    store.insert_kmers(np.array(kmers, np.uint64))
+    got_k, got_c = store.prefix_scan(
+        np.array([oligo], np.uint64), olen, min_count=1, max_out=4
+    )
+    assert len(got_k) >= 32  # far more than max_out
+    assert all(int(c) >= 1 for c in got_c)
+
+    from sharkmer_tpu.ops import KmerTable as _KT
+
+    table = _KT.create(k, capacity=1 << 10)
+    table = table.insert_kmers(np.array(kmers, np.uint64))
+    got_k2, got_c2 = table.prefix_scan(
+        np.array([oligo], np.uint64), olen, min_count=1, max_out=4
+    )
+    assert sorted(zip(got_k.tolist(), got_c.tolist())) == sorted(
+        zip(got_k2.tolist(), got_c2.tolist())
+    )
