@@ -246,3 +246,116 @@ def test_save_and_load_table(tmp_path, fastq_18s):
     stats = yaml.safe_load((out2 / "b.stats.yaml").read_text())
     # ingest stats survive the checkpoint round-trip
     assert stats["n_reads_read"] > 0
+
+
+REVCOMP = str.maketrans("ACGT", "TGCA")
+
+
+def _rc(s: str) -> str:
+    return s.translate(REVCOMP)[::-1]
+
+
+def test_read_threading_end_to_end(tmp_path, fastq_18s, caplog):
+    """--read-threading must execute Pass 2 (main._reread_sequences) and
+    the threading->bubble->DFS chain, still recovering the amplicon
+    (reference: mod.rs:664-707, io.rs:769-941)."""
+    import logging
+
+    out = tmp_path / "out"
+    with caplog.at_level(logging.INFO, logger="sharkmer"):
+        rc = run_cli([
+            fastq_18s, "-s", "t", "-k", "21", "-o", str(out), "-v",
+            "--read-threading", "--pcr-primers", PRIMER_SPEC,
+        ])
+    assert rc == 0
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("Pass 2: re-reading sequences" in m for m in msgs)
+    collected = [m for m in msgs if m.startswith("Pass 2: collected")]
+    assert collected and "0 reads" not in collected[0]
+    fasta = out / "t_18s.fasta"
+    seq = "".join(
+        l for l in fasta.read_text().splitlines() if not l.startswith(">")
+    )
+    assert len(seq) == 1808
+    # threading annotations reach the FASTA header stats
+    header = fasta.read_text().splitlines()[0]
+    assert "reads=" in header or len(seq) == 1808
+
+
+def test_paired_end_to_end(tmp_path):
+    """--paired ingests R1/R2 alternating; totals count both files
+    (reference: io.rs:630-697)."""
+    genome = random_genome(3000, seed=31)
+    r1 = reads_from_genome(genome, 300, 100, seed=32)
+    r2 = [_rc(r) for r in reads_from_genome(genome, 300, 100, seed=33)]
+    p1, p2 = tmp_path / "R1.fastq", tmp_path / "R2.fastq.gz"
+    write_fastq(p1, r1)
+    write_fastq(p2, r2, gzipped=True)
+    out = tmp_path / "out"
+    rc = run_cli([
+        str(p1), str(p2), "--paired", "-s", "p", "-k", "17",
+        "--chunks", "3", "--histo-max", "60", "-o", str(out),
+    ])
+    assert rc == 0
+    stats = yaml.safe_load((out / "p.stats.yaml").read_text())
+    assert stats["n_reads_read"] == 600
+    assert stats["n_bases_read"] == 600 * 100
+
+    # paired ingestion is count-equivalent to concatenated single-end
+    # (canonical k-mers are strand-invariant)
+    flat = tmp_path / "flat.fastq"
+    write_fastq(flat, r1 + r2)
+    out2 = tmp_path / "out2"
+    rc = run_cli([
+        str(flat), "-s", "q", "-k", "17", "--chunks", "3",
+        "--histo-max", "60", "-o", str(out2),
+    ])
+    assert rc == 0
+    h1 = (out / "p.final.histo").read_text().splitlines()[1:]
+    h2 = (out2 / "q.final.histo").read_text().splitlines()[1:]
+    assert h1 == h2
+
+
+def test_paired_max_reads_rounds_to_even(tmp_path):
+    genome = random_genome(1500, seed=41)
+    r1 = reads_from_genome(genome, 100, 80, seed=42)
+    r2 = [_rc(r) for r in r1]
+    p1, p2 = tmp_path / "a_R1.fastq", tmp_path / "a_R2.fastq"
+    write_fastq(p1, r1)
+    write_fastq(p2, r2)
+    out = tmp_path / "out"
+    rc = run_cli([
+        str(p1), str(p2), "--paired", "-s", "e", "-k", "15",
+        "-m", "11", "-o", str(out),
+    ])
+    assert rc == 0
+    stats = yaml.safe_load((out / "e.stats.yaml").read_text())
+    assert stats["n_reads_read"] == 12  # rounded up to even (io.rs:483-495)
+
+
+def test_paired_with_read_threading(tmp_path, caplog):
+    """Paired Pass 2 rereads assign R1/R2 mates
+    (threading.rs:128-192 analog through the CLI)."""
+    import logging
+
+    # amplicon-bearing reads split across a synthetic pair
+    reads = tiling_reads(READ_STRING) + [READ_STRING] * 5
+    r1 = reads[0::2]
+    r2 = [_rc(r) for r in reads[1::2]]
+    n = min(len(r1), len(r2))
+    r1, r2 = r1[:n], r2[:n]
+    p1, p2 = tmp_path / "t_R1.fastq", tmp_path / "t_R2.fastq"
+    write_fastq(p1, r1)
+    write_fastq(p2, r2)
+    out = tmp_path / "out"
+    with caplog.at_level(logging.INFO, logger="sharkmer"):
+        rc = run_cli([
+            str(p1), str(p2), "--paired", "--read-threading",
+            "-s", "pt", "-k", "21", "-o", str(out), "-v",
+            "--pcr-primers", PRIMER_SPEC,
+        ])
+    assert rc == 0
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(m.startswith("Pass 2: collected") for m in msgs)
+    stats = yaml.safe_load((out / "pt.stats.yaml").read_text())
+    assert stats["pcr_results"][0]["status"] == "success"
