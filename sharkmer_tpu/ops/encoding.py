@@ -165,13 +165,10 @@ for _i in range(256):
     )
 
 
-def revcomp_kmers_np(kmers: np.ndarray, k: int) -> np.ndarray:
-    """Vectorized reverse complement of packed k-mers (numpy, host).
-
-    Complement+reverse each byte's 4 bases via the LUT, reverse the
-    byte order, then shift the result down so the k bases land in the
-    low 2k bits.
-    """
+def revcomp_kmers_np_lut(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Byte-LUT reverse complement (the reference's REVCOMP_BYTE_LUT
+    strategy, encoding.rs:219-233). Kept as the differential oracle for
+    the bit-twiddling fast path below."""
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
     b = kmers.view(np.uint8).reshape(-1, 8)
     if sys.byteorder != "little":  # pragma: no cover
@@ -181,6 +178,27 @@ def revcomp_kmers_np(kmers: np.ndarray, k: int) -> np.ndarray:
         rc_b = rc_b[:, ::-1]
     rc = np.ascontiguousarray(rc_b).view(np.uint64).reshape(kmers.shape)
     return rc >> np.uint64(64 - 2 * k)
+
+
+_M2 = np.uint64(0x3333_3333_3333_3333)  # 2-bit group swap mask
+_M4 = np.uint64(0x0F0F_0F0F_0F0F_0F0F)  # nibble swap mask
+
+
+def revcomp_kmers_np(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse complement of packed k-mers (numpy, host).
+
+    Pure u64 bit arithmetic — ~10x the byte-LUT version, which pays a
+    gather per byte: complement is XOR with all-ones (3-b == b^3 for
+    2-bit b), base reversal is two swap stages plus a byteswap, then a
+    shift lands the k bases in the low 2k bits. The hot callers are the
+    sPCR mirror build (tens of millions of keys) and per-wave candidate
+    canonicalization.
+    """
+    x = ~np.ascontiguousarray(kmers, dtype=np.uint64)  # complement bases
+    x = ((x & _M2) << np.uint64(2)) | ((x >> np.uint64(2)) & _M2)
+    x = ((x & _M4) << np.uint64(4)) | ((x >> np.uint64(4)) & _M4)
+    x = x.byteswap()  # reverse bytes -> full 2-bit-group reversal
+    return x >> np.uint64(64 - 2 * k)
 
 
 def revcomp_kmer(kmer: int, k: int) -> int:

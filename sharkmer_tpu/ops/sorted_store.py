@@ -317,6 +317,112 @@ def _prefix_scan_sorted_kernel(
     return out_kmer[idx], counts[idx], jnp.sum(hit)
 
 
+# -- compressed host export ---------------------------------------------------
+
+ESC_MAX = 1 << 14  # escape-list width (structural u32-delta overflows)
+CHUNK_GRAN = 1 << 20  # transfer-chunk granularity (elements)
+
+
+def _escape_positions(flags, esc_max: int):
+    """First esc_max flagged positions, ascending (i32 fill 2^31-1 for
+    absent). Sort-based: jnp.nonzero's lowering takes SECONDS at 2^26
+    on this chip, while an unstable i32 sort runs in ~0.1 s."""
+    n = flags.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(flags, pos, jnp.int32(0x7FFF_FFFF))
+    return jax.lax.sort(keys, is_stable=False)[:esc_max]
+
+
+@functools.partial(jax.jit, static_argnames=("esc_max",))
+def _export_encode_kernel(keys, counts, esc_max: int):
+    """Delta/escape encoding of one sorted partition for transfer.
+
+    Keys: u32 delta from the predecessor; position 0 and any delta
+    > u32 escape to a (index, u64 value) side list. Counts: u16 with a
+    (index, u32 value) side list for the rare > 65535 entries.
+    """
+    n = keys.shape[0]
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint64), keys[:-1]])
+    delta = keys - prev  # u64 wraparound in the sentinel tail is fine
+    pos = jnp.arange(n)
+    esc = (delta > jnp.uint64(0xFFFF_FFFF)) | (pos == 0)
+    delta32 = jnp.where(esc, jnp.uint64(0), delta).astype(jnp.uint32)
+    esc_idx = _escape_positions(esc, esc_max)
+    esc_val = keys[jnp.minimum(esc_idx, n - 1)]
+    cesc = counts > jnp.uint32(0xFFFF)
+    counts16 = jnp.where(cesc, jnp.uint32(0), counts).astype(jnp.uint16)
+    cesc_idx = _escape_positions(cesc, esc_max)
+    cesc_val = counts[jnp.minimum(cesc_idx, n - 1)]
+    return (
+        delta32, counts16, esc_idx.astype(jnp.int64), esc_val,
+        jnp.sum(esc), cesc_idx.astype(jnp.int64), cesc_val, jnp.sum(cesc),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _slice1d_kernel(arr, start, width: int):
+    return jax.lax.dynamic_slice(arr, (start,), (width,))
+
+
+def _fetch_prefix(arr, n: int) -> np.ndarray:
+    """arr[:n] on host, transferred as pow2-granular chunks so only the
+    occupied prefix crosses the link and each slice width compiles
+    once."""
+    W = int(arr.shape[0])
+    n = min(int(n), W)
+    if n == 0:
+        return np.asarray(arr[:0])
+    if W <= 2 * CHUNK_GRAN:
+        return np.asarray(arr)[:n]
+    units = -(-n // CHUNK_GRAN)
+    slices = []
+    start = 0
+    for b in reversed(range(units.bit_length())):
+        if (units >> b) & 1:
+            w = (1 << b) * CHUNK_GRAN
+            slices.append(_slice1d_kernel(arr, start, w))
+            start += w
+    for s in slices:  # overlap transfers where the runtime allows
+        s.copy_to_host_async()
+    return np.concatenate([np.asarray(s) for s in slices])[:n]
+
+
+def _export_part(keys, counts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """One partition's occupied prefix as host numpy (keys, counts)."""
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    (delta32, counts16, esc_idx, esc_val, n_esc,
+     cesc_idx, cesc_val, n_cesc) = _export_encode_kernel(
+        keys, counts, ESC_MAX
+    )
+    n_esc, n_cesc = int(n_esc), int(n_cesc)
+    if n_esc > ESC_MAX or n_cesc > ESC_MAX:
+        # escape overflow (sparse keyspace, e.g. very large k with few
+        # keys): raw transfer of the occupied prefix
+        return _fetch_prefix(keys, n), _fetch_prefix(counts, n)
+    d32 = _fetch_prefix(delta32, n)
+    c16 = _fetch_prefix(counts16, n)
+    esc_idx = np.asarray(esc_idx)[:n_esc]
+    esc_val = np.asarray(esc_val)[:n_esc]
+    cesc_idx = np.asarray(cesc_idx)[:n_cesc]
+    cesc_val = np.asarray(cesc_val)[:n_cesc]
+
+    # astype first: np.cumsum(u32, dtype=u64) takes the slow upcasting
+    # ufunc path (~1.7 s at 20M); accumulate over a u64 array is ~20x
+    cum = np.cumsum(d32.astype(np.uint64))
+    keep = esc_idx < n
+    esc_idx, esc_val = esc_idx[keep], esc_val[keep]
+    # true[i] = esc_val[j] + (cum[i] - cum[esc_p[j]]) within segment j
+    offsets = esc_val - cum[esc_idx]  # mod-2^64 arithmetic: exact
+    seg_lens = np.diff(np.append(esc_idx, n))
+    out_keys = cum + np.repeat(offsets, seg_lens)
+
+    out_counts = c16.astype(np.uint32)
+    m = cesc_idx < n
+    out_counts[cesc_idx[m]] = cesc_val[m]
+    return out_keys, out_counts
+
+
 @dataclass
 class _Part:
     kmers: jax.Array  # sorted, sentinel-padded
@@ -654,15 +760,25 @@ class SortedKmerStore:
     # -- host export -----------------------------------------------------------
 
     def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
-        """Host mirror: (sorted unique kmers, counts)."""
+        """Host mirror: (sorted unique kmers, counts).
+
+        The deployment link's device->host path runs at ~30-40 MB/s
+        (tunneled PJRT), so the export is the sPCR mirror's dominant
+        cost. Keys travel as u32 deltas of the sorted run and counts as
+        u16, each with a small escape list for overflows, and only the
+        occupied prefix is transferred (pow2-chunked slices, compiled
+        once per width) — ~6 bytes/key instead of 12 bytes/slot of the
+        padded partition width.
+        """
         s = self._flushed()
         if not s.parts:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
-        keys = np.concatenate([np.asarray(p.kmers)[: p.n] for p in s.parts])
-        counts = np.concatenate(
-            [np.asarray(p.counts)[: p.n] for p in s.parts]
-        )
-        return keys, counts
+        keys, counts = [], []
+        for p in s.parts:
+            pk, pc = _export_part(p.kmers, p.counts, p.n)
+            keys.append(pk)
+            counts.append(pc)
+        return np.concatenate(keys), np.concatenate(counts)
 
     def to_dict(self) -> dict[int, int]:
         keys, counts = self.to_sorted_arrays()

@@ -9,7 +9,8 @@ global --min-kmer-count threshold on the fly, no data is copied.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import threading
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -81,24 +82,38 @@ class FilteredTable:
     min_count: int
     use_mirror: bool = True
     _mirror: tuple[np.ndarray, np.ndarray] | None = None
+    # one gene pool shares this view: without the lock every worker
+    # would race to build the same multi-second mirror / rc-order cache
+    _lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     @property
     def k(self) -> int:
         return self.table.k
 
     def _get_mirror(self):
-        if self._mirror is None:
-            pairs = self.table.to_dict() if not hasattr(
-                self.table, "to_sorted_arrays"
-            ) else None
-            if pairs is not None:  # generic fallback
-                kmers = np.fromiter(pairs.keys(), dtype=np.uint64, count=len(pairs))
-                counts = np.fromiter(pairs.values(), dtype=np.uint32, count=len(pairs))
-                order = np.argsort(kmers)
-                self._mirror = (kmers[order], counts[order])
-            else:
-                self._mirror = self.table.to_sorted_arrays()
+        with self._lock:
+            if self._mirror is None:
+                pairs = self.table.to_dict() if not hasattr(
+                    self.table, "to_sorted_arrays"
+                ) else None
+                if pairs is not None:  # generic fallback
+                    kmers = np.fromiter(pairs.keys(), dtype=np.uint64, count=len(pairs))
+                    counts = np.fromiter(pairs.values(), dtype=np.uint32, count=len(pairs))
+                    order = np.argsort(kmers)
+                    self._mirror = (kmers[order], counts[order])
+                else:
+                    self._mirror = self.table.to_sorted_arrays()
         return self._mirror
+
+    def warm_caches(self) -> None:
+        """Build the mirror and the rc-range index once, up front —
+        called before the gene thread pool starts so workers never
+        duplicate the build."""
+        if self._mirror_available():
+            self._get_mirror()
+            self._get_rc_order()
 
     def _mirror_available(self) -> bool:
         if not self.use_mirror:
@@ -136,13 +151,14 @@ class FilteredTable:
     def _get_rc_order(self):
         """Mirror rows ordered by revcomp(kmer): turns reverse-strand
         prefix matches into contiguous range queries too."""
-        if getattr(self, "_rc_cache", None) is None:
-            from ..ops.encoding import revcomp_kmers_np
+        mk, _ = self._get_mirror()  # outside the lock (takes it itself)
+        with self._lock:
+            if getattr(self, "_rc_cache", None) is None:
+                from ..ops.encoding import revcomp_kmers_np
 
-            mk, _ = self._get_mirror()
-            rc = revcomp_kmers_np(mk, self.k)
-            order = np.argsort(rc)
-            self._rc_cache = (rc[order], order)
+                rc = revcomp_kmers_np(mk, self.k)
+                order = np.argsort(rc)
+                self._rc_cache = (rc[order], order)
         return self._rc_cache
 
     def find_primer_matches(self, oligos: np.ndarray, oligo_len: int,

@@ -109,6 +109,7 @@ def run_pcr(
 
     log.info("Running in silico PCR...")
     log.info("Filtering kmers with count < %d before PCR", filtered.min_count)
+    filtered.warm_caches()  # one mirror/rc-index build, not one per worker
 
     def one(params: PCRParams):
         return do_pcr(

@@ -275,3 +275,26 @@ def test_prefix_scan_overflow_grows_and_retries():
     assert sorted(zip(got_k.tolist(), got_c.tolist())) == sorted(
         zip(got_k2.tolist(), got_c2.tolist())
     )
+
+
+def test_compressed_export_escapes():
+    """to_sorted_arrays' delta/escape transfer encoding must be exact
+    for huge counts (u16 escapes), huge key gaps (u32 delta escapes),
+    and sparse large-k stores (raw fallback)."""
+    # counts above u16 via explicit-count inserts
+    s = SortedKmerStore.create(21)
+    ks = np.array([5, 9, 1 << 41], np.uint64)  # gap >> u32 -> key escape
+    cs = np.array([70_000, 2, 0xFFFFFFFF], np.uint32)
+    s.insert_kmers(ks, cs)
+    got_k, got_c = s.to_sorted_arrays()
+    assert got_k.tolist() == [5, 9, 1 << 41]
+    assert got_c.tolist() == [70_000, 2, 0xFFFFFFFF]
+
+    # sparse k=31 store: nearly every delta escapes; must still be exact
+    rng = np.random.default_rng(3)
+    s = SortedKmerStore.create(31)
+    keys = np.unique(rng.integers(0, 1 << 62, size=5000, dtype=np.uint64))
+    s.insert_kmers(keys, np.ones(len(keys), np.uint32))
+    got_k, got_c = s.to_sorted_arrays()
+    np.testing.assert_array_equal(got_k, keys)
+    assert (got_c == 1).all()
