@@ -16,12 +16,15 @@ Pipeline parity with the reference
   (io.rs:1120-1132).
 
 TPU-native shape: the reference merges per-chunk CPU hash maps into a
-master map one entry at a time; here there is a single device table
-and "merging chunk j" simply means ingesting chunk j's read batch —
-the per-chunk snapshot is a clipped bincount over the table's counts
-array (one HBM sweep). Reads are buffered host-side per chunk (raw
-ASCII bytes) only when chunks > 1; otherwise they stream straight to
-the device.
+master map one entry at a time; here "merging chunk j" concatenates
+chunk j's sorted runs onto the master and re-aggregates (one fused
+device kernel) — the per-chunk snapshot is a clipped bincount over
+the merged counts (one HBM sweep). Chunked ingest STREAMS: each chunk
+owns its own device table fed as reads arrive (host holds at most
+``CHUNK_PENDING_READS`` reads per chunk, independent of the total read
+count — reference parity with io.rs:355-361, which streams into
+per-chunk tables), and consolidation folds the chunk tables into the
+master in chunk order via ``merge_from``.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ log = logging.getLogger("sharkmer")
 
 N_READS_PER_BATCH = 1000  # round-robin chunk assignment granularity
 DEVICE_BATCH_READS = 1 << 16  # reads per device ingest call
+CHUNK_PENDING_READS = 1 << 13  # host-buffered reads per chunk (chunked mode)
 WIDTH_BUCKET = 32  # pad widths up to a multiple to limit recompiles
 
 
@@ -62,7 +66,10 @@ class CountingEngine:
     backend: str = "sorted"  # "sorted" (sort/scan runs) | "hash" (probe table)
     table: KmerTable = field(init=False)
     stats: IngestStats = field(init=False)
-    _chunk_buffers: list[list[bytes]] = field(init=False)
+    _mesh: object = field(init=False, default=None)
+    _chunk_tables: list = field(init=False)
+    _chunk_pending: list[list] = field(init=False)
+    _pending_reads: list[int] = field(init=False)
     _stream_buffer: list[bytes] = field(init=False)
     _kmer_count_dev: object = field(init=False, default=None)  # device u64
 
@@ -70,18 +77,18 @@ class CountingEngine:
         if self.n_shards > 1:
             from .parallel.sharded_table import make_mesh
 
-            mesh = make_mesh(self.n_shards)
+            self._mesh = make_mesh(self.n_shards)
             local = max(1 << 10, self.initial_capacity // self.n_shards)
             # round to power of two
             local = 1 << (local - 1).bit_length()
             if self.backend == "hash":
                 from .parallel.sharded_table import ShardedKmerTable
 
-                self.table = ShardedKmerTable.create(self.k, mesh, local)
+                self.table = ShardedKmerTable.create(self.k, self._mesh, local)
             else:
                 from .parallel.sorted_sharded import ShardedSortedStore
 
-                self.table = ShardedSortedStore.create(self.k, mesh, local)
+                self.table = ShardedSortedStore.create(self.k, self._mesh, local)
         elif self.backend == "hash":
             self.table = KmerTable.create(self.k, self.initial_capacity)
         else:
@@ -90,16 +97,72 @@ class CountingEngine:
             self.table = SortedKmerStore.create(self.k)
         self.stats = IngestStats()
         n = max(self.n_chunks, 1)
-        self._chunk_buffers = [[] for _ in range(n)]
+        self._chunk_tables = [None] * n
+        self._chunk_pending = [[] for _ in range(n)]
+        self._pending_reads = [0] * n
         self._stream_buffer = []
 
     # -- ingest -------------------------------------------------------------
 
     @property
     def _buffering(self) -> bool:
-        # Per-chunk snapshots need chunk-ordered ingestion, so reads are
-        # buffered when more than one chunk exists.
+        # Per-chunk snapshots need chunk-ordered consolidation, so reads
+        # stream into PER-CHUNK device tables when more than one chunk
+        # exists (merged into the master, in order, at consolidate).
         return max(self.n_chunks, 1) > 1
+
+    def _chunk_table(self, c: int):
+        """The chunk's own device table (lazily created, reduced size so
+        n_chunks tables fit the same footprint as one master)."""
+        if self._chunk_tables[c] is None:
+            n = max(self.n_chunks, 1)
+            if self.n_shards > 1:
+                local = max(1 << 8, (self.initial_capacity // self.n_shards) // n)
+                local = 1 << (local - 1).bit_length()
+                if self.backend == "hash":
+                    from .parallel.sharded_table import ShardedKmerTable
+
+                    self._chunk_tables[c] = ShardedKmerTable.create(
+                        self.k, self._mesh, local
+                    )
+                else:
+                    from .parallel.sorted_sharded import ShardedSortedStore
+
+                    self._chunk_tables[c] = ShardedSortedStore.create(
+                        self.k, self._mesh, local
+                    )
+            elif self.backend == "hash":
+                cap = 1 << max(12, (self.initial_capacity // n - 1).bit_length())
+                self._chunk_tables[c] = KmerTable.create(self.k, cap)
+            else:
+                from .ops.sorted_store import (
+                    SortedKmerStore,
+                    _default_max_agg,
+                    _next_pow2,
+                )
+
+                # each chunk's raw buffer gets a fair share of the drain
+                # budget so all chunk buffers together cost one master's
+                agg = _next_pow2(max(1 << 16, _default_max_agg() // n))
+                self._chunk_tables[c] = SortedKmerStore(self.k, max_agg=agg)
+        return self._chunk_tables[c]
+
+    def _push_pending(self, c: int, item, n_reads: int) -> None:
+        """Queue reads for chunk c; flush to its device table at the cap
+        (host RAM stays bounded at n_chunks x CHUNK_PENDING_READS reads
+        regardless of the total read count)."""
+        self._chunk_pending[c].append(item)
+        self._pending_reads[c] += n_reads
+        if self._pending_reads[c] >= CHUNK_PENDING_READS:
+            self._flush_pending(c)
+
+    def _flush_pending(self, c: int) -> None:
+        if not self._chunk_pending[c]:
+            return
+        seqs = self._chunk_pending[c]
+        self._chunk_pending[c] = []
+        self._pending_reads[c] = 0
+        self._chunk_tables[c] = self._ingest_seqs(seqs, self._chunk_table(c))
 
     def ingest(self, sequences: Iterator[bytes], max_reads: int = 0) -> bool:
         """Consume sequences (ASCII bytes). Returns True if max_reads hit."""
@@ -110,11 +173,11 @@ class CountingEngine:
             self.stats.n_reads_read += 1
             self.stats.n_bases_read += len(seq)
             if self._buffering:
-                self._chunk_buffers[chunk_id].append(seq)
+                self._push_pending(chunk_id, seq, 1)
             else:
                 self._stream_buffer.append(seq)
                 if len(self._stream_buffer) >= DEVICE_BATCH_READS:
-                    self._ingest_seqs(self._stream_buffer)
+                    self.table = self._ingest_seqs(self._stream_buffer, self.table)
                     self._stream_buffer = []
             if max_reads > 0 and self.stats.n_reads_read >= max_reads:
                 return True
@@ -139,15 +202,16 @@ class CountingEngine:
                          % n_chunks)
             for c in np.unique(chunk_ids):
                 rows = codes[chunk_ids == c]
-                self._chunk_buffers[int(c)].append(rows)
+                self._push_pending(int(c), rows, rows.shape[0])
         else:
-            self._ingest_codes_array(codes)
+            self.table = self._ingest_codes_array(codes, self.table)
         return max_reads > 0 and self.stats.n_reads_read >= max_reads
 
-    def _ingest_codes_array(self, codes: np.ndarray) -> None:
-        """Insert the canonical k-mers of an encoded batch."""
+    def _ingest_codes_array(self, codes: np.ndarray, table):
+        """Insert the canonical k-mers of an encoded batch into `table`
+        (returned updated; run stats accumulate on the engine)."""
         if codes.shape[0] == 0:
-            return
+            return table
         n_rows = codes.shape[0]
         # pad the row dimension to a power of two so ragged tail batches
         # reuse the compiled encode kernel (pad rows yield no valid
@@ -170,19 +234,21 @@ class CountingEngine:
             self._kmer_count_dev = batch_kmers
         else:
             self._kmer_count_dev = self._kmer_count_dev + batch_kmers
-        self.table = self.table.insert_kmers(kmers.reshape(-1))
+        table = table.insert_kmers(kmers.reshape(-1))
         self.stats.n_reads_ingested += n_rows
         self.stats.n_bases_ingested += n_valid_bases
+        return table
 
-    def _ingest_seqs(self, seqs: list) -> None:
+    def _ingest_seqs(self, seqs: list, table):
         """Encode a group of reads (bytes or pre-encoded arrays) and
-        insert their canonical k-mers."""
+        insert their canonical k-mers into `table` (returned updated)."""
         raw = [s for s in seqs if isinstance(s, (bytes, bytearray))]
         for batch in _width_batches(raw):
-            self._ingest_codes_array(_encode_batch(batch))
+            table = self._ingest_codes_array(_encode_batch(batch), table)
         for item in seqs:
             if not isinstance(item, (bytes, bytearray)):
-                self._ingest_codes_array(item)
+                table = self._ingest_codes_array(item, table)
+        return table
 
     # -- consolidate ---------------------------------------------------------
 
@@ -194,13 +260,16 @@ class CountingEngine:
         if self._buffering:
             histo_vecs = []
             for chunk_id in range(max(self.n_chunks, 1)):
-                seqs = self._chunk_buffers[chunk_id]
-                self._ingest_seqs(seqs)
-                self._chunk_buffers[chunk_id] = []
+                self._flush_pending(chunk_id)
+                if self._chunk_tables[chunk_id] is not None:
+                    self.table = self.table.merge_from(
+                        self._chunk_tables[chunk_id]
+                    )
+                    self._chunk_tables[chunk_id] = None  # free device memory
                 histo_vecs.append(self.table.histogram(self.histo_max))
         else:
             if self._stream_buffer:
-                self._ingest_seqs(self._stream_buffer)
+                self.table = self._ingest_seqs(self._stream_buffer, self.table)
                 self._stream_buffer = []
             if self.n_chunks > 0:  # chunks == 1: one snapshot
                 histo_vecs = [self.table.histogram(self.histo_max)]

@@ -357,6 +357,16 @@ class KmerTable:
         kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)
         return self.insert_kmers(kmers.reshape(-1))
 
+    def merge_from(self, other: "KmerTable") -> "KmerTable":
+        """Fold another table's entries into this one (device-to-device):
+        the other table's slot arrays feed the insert kernel directly —
+        SENTINEL slots are skipped by the probe loop, and empty-slot
+        counts are forced to 0 so they can never alias a real add."""
+        if other.k != self.k:
+            raise ValueError("k mismatch in merge_from")
+        add = jnp.where(other.keys == EMPTY, 0, other.counts).astype(jnp.uint32)
+        return self.insert_kmers(other.keys, add)
+
     def _maybe_grow(self, incoming: int) -> "KmerTable":
         table = self
         # n_unique is a device reduction; to avoid a sync per batch we grow

@@ -488,6 +488,22 @@ class SortedKmerStore:
         kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)
         return self.insert_kmers(kmers.reshape(-1))
 
+    def merge_from(self, other: "SortedKmerStore") -> "SortedKmerStore":
+        """Fold another store's contents into this one, device-to-device.
+
+        Each of the other store's partitions is already a sorted
+        sentinel-padded run, which is exactly the explicit-count insert
+        path's input shape — no host round-trip. This is the chunked
+        engine's consolidation primitive (the analog of the reference's
+        ``extend_with_histogram`` chunk merge, counting.rs:171-202).
+        """
+        if other.k != self.k:
+            raise ValueError("k mismatch in merge_from")
+        other._drain()
+        for p in other.parts:
+            self.insert_kmers(p.kmers, p.counts)
+        return self
+
     def _append_raw(self, kmers) -> None:
         """Tile-append raw k-mers into the device buffer; drain when full."""
         cap = self._ensure_buffer()

@@ -61,6 +61,31 @@ def _local_insert(keys, counts, kmers, add_counts):
     return ht._insert_kernel(keys, counts, kmers, add_counts)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_local_merge(mesh: Mesh):
+    """Shard-local table merge (both tables owner-aligned on `mesh`)."""
+
+    @jax.jit
+    def merge(keys, counts, okeys, ocounts):
+        def body(keys, counts, okeys, ocounts):
+            ok, oc = okeys[0], ocounts[0]
+            add = jnp.where(
+                ok == jnp.uint64(KMER_SENTINEL), 0, oc
+            ).astype(jnp.uint32)
+            nk, nc = _local_insert(keys[0], counts[0], ok, add)
+            return nk[None], nc[None]
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                      P(AXIS, None)),
+            out_specs=(P(AXIS, None), P(AXIS, None)),
+            check_vma=False,
+        )(keys, counts, okeys, ocounts)
+
+    return merge
+
+
 @dataclass
 class ShardedKmerTable:
     """Count table sharded over a 1-D device mesh."""
@@ -244,6 +269,19 @@ class ShardedKmerTable:
     def ingest_codes(self, codes) -> "ShardedKmerTable":
         kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)
         return self.insert_kmers(np.asarray(kmers).reshape(-1))
+
+    def merge_from(self, other: "ShardedKmerTable") -> "ShardedKmerTable":
+        """Fold another table (same mesh, same k) into this one. Both
+        tables route by the same owner hash, so the merge is purely
+        shard-local: each shard claim/probe-inserts the other table's
+        local slots into its own — no collective, no host round-trip."""
+        if other.k != self.k or other.mesh is not self.mesh:
+            raise ValueError("merge_from requires same k and mesh")
+        table = self._maybe_grow(other.n_unique())
+        keys, counts = _make_local_merge(table.mesh)(
+            table.keys, table.counts, other.keys, other.counts
+        )
+        return replace(table, keys=keys, counts=counts)
 
     def lookup_directional(self, queries) -> np.ndarray:
         q = np.asarray(queries, dtype=np.uint64).reshape(-1)

@@ -212,6 +212,18 @@ class ShardedSortedStore:
         kmers, _ = canonical_kmers(jnp.asarray(codes), self.k)
         return self.insert_kmers(np.asarray(kmers).reshape(-1))
 
+    def merge_from(self, other: "ShardedSortedStore") -> "ShardedSortedStore":
+        """Fold another store (same mesh, same k) into this one. Both
+        stores partition the keyspace by the same owner hash, so the
+        other's shard-local master run IS a valid pending run for this
+        store's shard-local merge — no collective, no host round-trip."""
+        if other.k != self.k or other.mesh is not self.mesh:
+            raise ValueError("merge_from requires same k and mesh")
+        other._flushed()
+        self.pending.append((other.kmers, other.counts))
+        self.pending_width += other.local_capacity
+        return self.flush()
+
     # -- flush / grow -----------------------------------------------------------
 
     def flush(self) -> "ShardedSortedStore":

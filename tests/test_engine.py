@@ -97,6 +97,61 @@ def test_stats_fields(reads):
     )
 
 
+def test_chunked_ingest_streams_to_device(reads):
+    """Chunked mode must NOT hold the full read set host-side
+    (VERDICT r1 item 6): pending host buffers stay bounded at
+    CHUNK_PENDING_READS per chunk while reads stream into per-chunk
+    device tables."""
+    from sharkmer_tpu import engine as engine_mod
+
+    old = engine_mod.CHUNK_PENDING_READS
+    engine_mod.CHUNK_PENDING_READS = 64
+    try:
+        eng = CountingEngine(k=17, n_chunks=3, histo_max=100,
+                             initial_capacity=1 << 12)
+        eng.ingest(iter(reads))
+        assert all(n <= 64 for n in eng._pending_reads)
+        # at least one chunk has already flushed to its device table
+        assert any(t is not None for t in eng._chunk_tables)
+        vecs = eng.consolidate()
+        # chunk tables are freed after the merge
+        assert all(t is None for t in eng._chunk_tables)
+        model, _ = python_model([r.decode() for r in reads], 17)
+        np.testing.assert_array_equal(
+            vecs[-1], histo_from_counter(model, 100)
+        )
+    finally:
+        engine_mod.CHUNK_PENDING_READS = old
+
+
+def test_merge_from_matches_single_table(reads):
+    """merge_from (the chunked consolidation primitive) must be
+    equivalent to inserting everything into one table — both backends."""
+    from sharkmer_tpu.ops.sorted_store import SortedKmerStore
+    from sharkmer_tpu.ops.hashtable import KmerTable
+    from sharkmer_tpu.ops.encoding import kmers_from_ascii_ref
+
+    k = 19
+    half = len(reads) // 2
+    km_a = np.array(
+        [m for r in reads[:half] for m in kmers_from_ascii_ref(r.decode(), k)],
+        dtype=np.uint64,
+    )
+    km_b = np.array(
+        [m for r in reads[half:] for m in kmers_from_ascii_ref(r.decode(), k)],
+        dtype=np.uint64,
+    )
+    for cls, kwargs in [(SortedKmerStore, {}),
+                        (KmerTable, {"capacity": 1 << 12})]:
+        one = cls.create(k, **kwargs).insert_kmers(
+            np.concatenate([km_a, km_b])
+        )
+        a = cls.create(k, **kwargs).insert_kmers(km_a)
+        b = cls.create(k, **kwargs).insert_kmers(km_b)
+        merged = a.merge_from(b)
+        assert merged.to_dict() == one.to_dict()
+
+
 def test_singletons(reads):
     eng, vecs = run_engine(reads, 21, chunks=2)
     model, _ = python_model([r.decode() for r in reads], 21)

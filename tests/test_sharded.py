@@ -132,3 +132,23 @@ def test_sharded_growth(mesh8, dataset):
     small = small.insert_kmers(kmers)
     assert small.local_capacity > 1 << 6
     assert small.to_dict() == dict(model)
+
+
+def test_sharded_merge_from(mesh8, dataset):
+    """merge_from on both sharded backends equals one-table inserts
+    (the streamed chunked engine's consolidation primitive)."""
+    from sharkmer_tpu.parallel.sorted_sharded import ShardedSortedStore
+
+    k = 19
+    kms = np.array(
+        [m for r in dataset for m in kmers_from_ascii_ref(r, k)],
+        dtype=np.uint64,
+    )
+    half = len(kms) // 2
+    for cls, cap in [(ShardedKmerTable, 1 << 11),
+                     (ShardedSortedStore, 1 << 11)]:
+        one = cls.create(k, mesh8, local_capacity=cap).insert_kmers(kms)
+        a = cls.create(k, mesh8, local_capacity=cap).insert_kmers(kms[:half])
+        b = cls.create(k, mesh8, local_capacity=cap).insert_kmers(kms[half:])
+        merged = a.merge_from(b)
+        assert merged.to_dict() == one.to_dict()
