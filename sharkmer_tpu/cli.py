@@ -133,6 +133,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["sorted", "hash"], default="sorted",
                    help="Count-table backend: sorted runs (TPU-fast) or "
                         "open-addressed hash table")
+    # hidden: serve sPCR lookups/scans from the device table instead of
+    # the host mirror (the default mirror wins on the tunneled link;
+    # this exercises/uses the pure-device path)
+    p.add_argument("--no-mirror", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--save-table", metavar="PATH",
                    help="Checkpoint the consolidated count table to PATH "
                         "(.npz) after Pass 1")
@@ -305,8 +309,8 @@ _ALL_OPTS = (
     "--list-panels --export-panel --help-pcr -k --chunks --histo-max "
     "--threads --max-reads --min-kmer-count --validate-every --verbose "
     "--quiet --color --cite --completions --dump-graph --validate-panels "
-    "--dry-run --n-shards --save-table --load-table --cache-dir --no-cache "
-    "--clear-cache --version"
+    "--dry-run --n-shards --backend --no-mirror --save-table --load-table "
+    "--cache-dir --no-cache --clear-cache --version"
 )
 
 _COMPLETIONS = {

@@ -78,6 +78,15 @@ class CountingEngine:
             from .parallel.sharded_table import make_mesh
 
             self._mesh = make_mesh(self.n_shards)
+            if self._mesh.devices.size < self.n_shards:
+                # mesh degrades to the devices that exist; the sharded
+                # store semantics are identical at any shard count
+                log.warning(
+                    "--n-shards %d requested but only %d device(s) "
+                    "available; sharding over %d",
+                    self.n_shards, self._mesh.devices.size,
+                    self._mesh.devices.size,
+                )
             local = max(1 << 10, self.initial_capacity // self.n_shards)
             # round to power of two
             local = 1 << (local - 1).bit_length()

@@ -201,7 +201,10 @@ def _run_post_count(args, argv, start_run, engine, sample, directory, k,
         )
 
     # ---- sPCR --------------------------------------------------------------
-    filtered = FilteredTable(engine.table, args.min_kmer_count)
+    filtered = FilteredTable(
+        engine.table, args.min_kmer_count,
+        use_mirror=not getattr(args, "no_mirror", False),
+    )
     pcr_results = run_pcr(
         filtered, pcr_runs, sample, directory,
         dump_graph=args.dump_graph, reads=threading_reads,

@@ -16,7 +16,8 @@ Design (all inside one `shard_map` over a 1-D mesh axis "shards"):
   aggregate + claim/probe insert as the single-device kernel on its
   local arrays. Per-kmer totals are identical to the single-device
   path by construction (same batch boundaries, same saturation).
-* **histogram**: local clipped bincount, `psum` across shards.
+* **histogram**: local clipped bincount, all_gather + local u64 sum
+  across shards (u64 all-reduce does not lower on TPU).
 * **lookup**: queries are replicated; each shard answers for owned
   queries (0 elsewhere) and results combine with `psum`.
 * **prefix scan**: shard-local scan + `all_gather` of the match
@@ -187,8 +188,10 @@ class ShardedKmerTable:
         @jax.jit
         def histogram(counts):
             def body(counts):
+                from .sorted_sharded import _sum_shards_u64
+
                 local = ht._histogram_kernel(counts[0], histo_max)
-                return jax.lax.psum(local, AXIS)
+                return _sum_shards_u64(local)
 
             return shard_map(
                 body, mesh=mesh, in_specs=(P(AXIS, None),), out_specs=P(),
@@ -387,7 +390,9 @@ def make_ingest_step(mesh: Mesh, k: int, histo_max: int):
         keys, counts = _local_insert(
             keys, counts, mine, jnp.ones(mine.shape, jnp.uint32)
         )
-        histo = jax.lax.psum(ht._histogram_kernel(counts, histo_max), AXIS)
+        from .sorted_sharded import _sum_shards_u64
+
+        histo = _sum_shards_u64(ht._histogram_kernel(counts, histo_max))
         return keys[None], counts[None], histo
 
     mapped = shard_map(

@@ -11,7 +11,8 @@ shard_map:
   balanced; an overflow check guards the tail risk).
 * **flush**: concatenate master + pending runs per shard, aggregate,
   slice back to capacity (occupancy-checked, grow by doubling).
-* **histogram**: local clipped bincount + psum.
+* **histogram**: local clipped bincount, all_gather + local sum (u64
+  all-reduce does not lower on TPU; see _sum_shards_u64).
 * **lookup**: no owner masking needed — a k-mer exists only on its
   owning shard, every other shard contributes 0, and psum combines.
 
@@ -131,9 +132,8 @@ def _make_histogram(mesh: Mesh, histo_max: int):
     @jax.jit
     def histogram(counts):
         def body(counts):
-            return jax.lax.psum(
-                ht._histogram_kernel(counts[0], histo_max), AXIS
-            )
+            local = ht._histogram_kernel(counts[0], histo_max)
+            return _sum_shards_u64(local)
 
         return shard_map(
             body, mesh=mesh, in_specs=(P(AXIS, None),), out_specs=P(),
@@ -141,6 +141,17 @@ def _make_histogram(mesh: Mesh, histo_max: int):
         )(counts)
 
     return histogram
+
+
+def _sum_shards_u64(local):
+    """Cross-shard sum of a u64 vector. all_gather + local add, NOT
+    psum: the TPU all-reduce lowering rejects u64 operands ("Supported
+    lowering only of Sum all reduce"), while all_gather is pure data
+    movement and the add then happens shard-locally. Histograms are
+    tiny (histo_max+2 elements) so the extra bytes are negligible."""
+    return jnp.sum(
+        jax.lax.all_gather(local, AXIS), axis=0, dtype=jnp.uint64
+    )
 
 
 @dataclass
@@ -375,7 +386,7 @@ def make_sorted_ingest_step(mesh: Mesh, k: int, histo_max: int, cap: int):
         mk, mc, _ = _aggregate_kernel(all_k, all_c)
         mk = jax.lax.slice(mk, (0,), (cap,))
         mc = jax.lax.slice(mc, (0,), (cap,))
-        histo = jax.lax.psum(ht._histogram_kernel(mc, histo_max), AXIS)
+        histo = _sum_shards_u64(ht._histogram_kernel(mc, histo_max))
         return mk[None], mc[None], histo
 
     mapped = shard_map(
