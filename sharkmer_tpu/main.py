@@ -111,6 +111,9 @@ def _run(args, argv, start_run) -> int:
     ingest_start = time.monotonic()
     log.info("Ingesting reads...")
     read_plan = _ingest_all(args, engine, max_reads, cache_config, cached_ena)
+    from .utils.progress import get_progress
+
+    get_progress().finish()
     log.info(
         "Read %s reads, %s bases",
         f"{engine.stats.n_reads_read:,}", f"{engine.stats.n_bases_read:,}",
@@ -251,6 +254,20 @@ class ReadPlan:
         self.max_reads = max_reads
 
 
+def _with_progress(seqs, engine: CountingEngine):
+    """Tick the tty progress line every 4096 reads (io.rs:392-410)."""
+    from .utils.progress import get_progress
+
+    progress = get_progress()
+    for i, s in enumerate(seqs):
+        if (i & 0xFFF) == 0:
+            progress.tick(
+                f"Ingesting reads... {engine.stats.n_reads_read:,} reads "
+                f"({engine.stats.n_bases_read / 1e6:,.1f} Mbp)"
+            )
+        yield s
+
+
 def _ingest_all(args, engine: CountingEngine, max_reads: int,
                 cache_config, cached_ena) -> ReadPlan:
     """Feed all input sources into the engine (io.rs:366-537)."""
@@ -282,8 +299,11 @@ def _ingest_all(args, engine: CountingEngine, max_reads: int,
                 name = url
             try:
                 reached = engine.ingest(
-                    fastq_mod.read_fastq_records(
-                        stream, args.validate_every, name
+                    _with_progress(
+                        fastq_mod.read_fastq_records(
+                            stream, args.validate_every, name
+                        ),
+                        engine,
                     ),
                     max_reads,
                 )
@@ -325,9 +345,12 @@ def _ingest_all(args, engine: CountingEngine, max_reads: int,
             s1 = fastq_mod.open_fastq(args.input[0])
             s2 = fastq_mod.open_fastq(args.input[1])
             engine.ingest(
-                fastq_mod.read_fastq_paired(
-                    s1, s2, args.validate_every,
-                    str(args.input[0]), str(args.input[1]),
+                _with_progress(
+                    fastq_mod.read_fastq_paired(
+                        s1, s2, args.validate_every,
+                        str(args.input[0]), str(args.input[1]),
+                    ),
+                    engine,
                 ),
                 max_reads,
             )
@@ -339,6 +362,9 @@ def _ingest_all(args, engine: CountingEngine, max_reads: int,
                 log.info("Using native FASTQ loader")
             for path in args.input:
                 if use_native:
+                    from .utils.progress import get_progress
+
+                    progress = get_progress()
                     reached = False
                     with native_mod.NativeFastqReader(
                         str(path), args.validate_every
@@ -350,12 +376,20 @@ def _ingest_all(args, engine: CountingEngine, max_reads: int,
                             if engine.ingest_code_batch(*batch, max_reads):
                                 reached = True
                                 break
+                            progress.tick(
+                                f"Ingesting reads... "
+                                f"{engine.stats.n_reads_read:,} reads "
+                                f"({engine.stats.n_bases_read / 1e6:,.1f} Mbp)"
+                            )
                 else:
                     stream = fastq_mod.open_fastq(path)
                     reached = engine.ingest(
-                        fastq_mod.read_fastq_records(
-                            stream, args.validate_every, str(path),
-                            start_record=engine.stats.n_reads_read,
+                        _with_progress(
+                            fastq_mod.read_fastq_records(
+                                stream, args.validate_every, str(path),
+                                start_record=engine.stats.n_reads_read,
+                            ),
+                            engine,
                         ),
                         max_reads,
                     )
@@ -373,8 +407,11 @@ def _ingest_all(args, engine: CountingEngine, max_reads: int,
                 "Example: zcat reads.fastq.gz | sharkmer -s sample -k 21"
             )
         engine.ingest(
-            fastq_mod.read_fastq_records(
-                sys.stdin.buffer, args.validate_every, "stdin"
+            _with_progress(
+                fastq_mod.read_fastq_records(
+                    sys.stdin.buffer, args.validate_every, "stdin"
+                ),
+                engine,
             ),
             max_reads,
         )

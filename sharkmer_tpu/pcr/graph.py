@@ -25,10 +25,12 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..ops.encoding import revcomp_kmer
+from ..utils.progress import get_progress
 from .counts import FilteredTable, SmallCounts
 from .params import PCRParams
 
 log = logging.getLogger("sharkmer")
+_progress = get_progress()
 
 EXTENSION_EVALUATION_FREQUENCY = 1_000
 EXTENSION_EVALUATION_DEPTH = 4
@@ -346,6 +348,10 @@ def extend_graph(
                 last_check = n_nodes - (n_nodes % EXTENSION_EVALUATION_FREQUENCY)
                 log.debug("[%s] extension at %d nodes, %d edges",
                           params.gene_name, n_nodes, graph.edge_count())
+                _progress.tick(
+                    f"[{params.gene_name}] extending graph: {n_nodes:,} "
+                    f"nodes, {graph.edge_count():,} edges"
+                )
 
             sub_kmer = graph.nodes[node].sub_kmer
             for b in range(4):
@@ -395,6 +401,7 @@ def extend_graph(
 
         wave = next_wave
 
+    _progress.finish()
     return graph, node_lookup, found_path
 
 

@@ -147,3 +147,100 @@ def test_runner_derive_gene_name():
     assert runner.derive_gene_name({"gene": "CO1"}) == "CO1"
     assert runner.derive_gene_name({"gene": "18S", "region": "V9"}) == "18S-V9"
     assert runner.derive_gene_name({"gene": "X", "index": 2}) == "X_2"
+
+
+def test_bootstrap_from_runs_collection(tmp_path):
+    """Offline helpers of bootstrap_from_runs: best-amplicon collection
+    (panel-prefix stripping, per-(gene,sample) dedup, deepest-first),
+    run-dir reuse parsing, and BLAST XML top-hit extraction."""
+    import bootstrap_from_runs as bfr
+
+    runs = [
+        {
+            "accession": "SRR1", "taxon": "Xenia sp.", "max_reads": 2000,
+            "success": True,
+            "genes": [
+                gene_entry("pan_18S", seqs=("A" * 500,)),
+                gene_entry("pan_CO1", status="failure", seqs=()),
+            ],
+        },
+        {   # shallower run for the same sample: must NOT override 18S
+            "accession": "SRR1", "taxon": "Xenia sp.", "max_reads": 1000,
+            "success": True,
+            "genes": [gene_entry("pan_18S", seqs=("C" * 300,))],
+        },
+        {"accession": "SRR2", "max_reads": 1000, "success": False,
+         "genes": [gene_entry("pan_18S")]},
+    ]
+    amps = bfr.best_amplicons(runs, "pan")
+    assert len(amps) == 1
+    assert amps[0]["gene"] == "18S"  # prefix stripped
+    assert amps[0]["sequence"] == "A" * 500
+    assert amps[0]["accession"] == "SRR1"
+
+    # reuse_runs: parse stats.yaml + fasta back into run records
+    run_dir = tmp_path
+    (run_dir / "SRR1_2000.stats.yaml").write_text(yaml.dump({
+        "pcr_results": [
+            {"gene_name": "pan_18S", "status": "success"},
+        ],
+    }))
+    (run_dir / "SRR1_2000_pan_18S.fasta").write_text(">x\nACGTACGT\n")
+    panel_data = {
+        "validation": {"samples": [
+            {"accession": "SRR1", "taxon": "Xenia sp.",
+             "max_reads": [1000, 2000]},
+        ]},
+    }
+    recs = bfr.reuse_runs(panel_data, "pan", run_dir)
+    assert len(recs) == 1
+    assert recs[0]["max_reads"] == 2000  # deepest available chosen
+    assert recs[0]["genes"][0]["sequences"] == ["ACGTACGT"]
+
+    xml = """<BlastOutput><BlastOutput_iterations><Iteration><Iteration_hits>
+      <Hit><Hit_accession>AB1</Hit_accession><Hit_def>d</Hit_def>
+      <Hit_hsps><Hsp><Hsp_identity>99</Hsp_identity>
+      <Hsp_align-len>100</Hsp_align-len></Hsp></Hit_hsps></Hit>
+      </Iteration_hits></Iteration></BlastOutput_iterations></BlastOutput>"""
+    hit = bfr.top_hit(xml)
+    assert hit == {
+        "accession": "AB1", "description": "d",
+        "pct_identity": 99.0, "align_length": 100,
+    }
+    assert bfr.top_hit("<garbage") is None
+
+
+def test_genomescope_movie_offline(tmp_path):
+    """Offline parts of genomescope_movie: chunk splitting of the
+    multi-column .histo and summary.txt parsing / TSV aggregation."""
+    import genomescope_movie as gm
+
+    histo = tmp_path / "s.histo"
+    histo.write_text(
+        "# sharkmer incremental histogram\n"
+        "count\tchunk_1\tchunk_2\n"
+        "1\t10\t20\n"
+        "2\t5\t9\n"
+    )
+    out = tmp_path / "gs"
+    paths = gm.split_chunks(histo, out)
+    assert [p.name for p in paths] == ["chunk_0001.histo", "chunk_0002.histo"]
+    assert paths[0].read_text() == "1\t10\n2\t5\n"
+    assert paths[1].read_text() == "1\t20\n2\t9\n"
+
+    summary = tmp_path / "chunk_0001_summary.txt"
+    summary.write_text(
+        "GenomeScope version 2.0\n"
+        "property                      min               max\n"
+        "Heterozygosity                0.47%             0.49%\n"
+        "Genome Haploid Length         215,000,000 bp    216,500,000 bp\n"
+        "Model Fit                     92.1%             97.3%\n"
+    )
+    parsed = gm.parse_summary(summary)
+    assert parsed["heterozygosity_min"] == "0.47%"
+    assert parsed["genome_haploid_length_max"] == "216,500,000 bp"
+
+    tsv = gm.write_stats_tsv(out, [(1, parsed)], "s")
+    lines = tsv.read_text().splitlines()
+    assert lines[0].startswith("chunk\t")
+    assert lines[1].startswith("1\t")
