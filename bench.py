@@ -25,9 +25,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _stage(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 BASELINE_KMERS_PER_SEC = 131_779_117 / 22.5
 BASELINE_E2E_WALL_S = 22.5  # reference: 1M-read cnidaria run, count+sPCR
@@ -196,6 +204,8 @@ def run_sorted(args):
     ]
     kmers_per_batch = args.batch * (args.read_len - k + 1)
 
+    from sharkmer_tpu.pcr.counts import FilteredTable
+
     def one_pass():
         store = SortedKmerStore.create(k)
         for codes in batches:
@@ -204,7 +214,14 @@ def run_sorted(args):
         histo = store.histogram(10_000)
         return store, int(np.sum(histo))
 
-    one_pass()  # warmup: compiles every shape in the sequence
+    # warmup: compiles every kernel shape the timed passes will hit —
+    # the count sequence AND the mirror-export (filter/encode) kernels
+    _stage("warmup: count pass (compiles)")
+    warm_store, _ = one_pass()
+    _stage("warmup: mirror export (compiles)")
+    FilteredTable(warm_store, min_count=2)._get_mirror()
+    del warm_store
+    _stage("timed: count pass")
     t0 = time.perf_counter()
     store, n_unique = one_pass()
     count_wall = time.perf_counter() - t0
@@ -212,17 +229,18 @@ def run_sorted(args):
     assert n_unique > 0
 
     # ---- sPCR stage (the reference's 22.5 s includes this) ----------------
-    from sharkmer_tpu.pcr.counts import FilteredTable
     from sharkmer_tpu.pcr.panels import get_panel
     from sharkmer_tpu.stats import run_pcr
 
     panel_params = get_panel(args.panel)
+    _stage("timed: mirror export")
     t0 = time.perf_counter()
     filtered = FilteredTable(store, min_count=2)
     filtered._get_mirror()  # the one-time device->host table export
     mirror_export_s = time.perf_counter() - t0
 
     with tempfile.TemporaryDirectory() as outdir:
+        _stage("timed: sPCR panel")
         t0 = time.perf_counter()
         results = run_pcr(
             filtered, panel_params, "bench", outdir + "/",

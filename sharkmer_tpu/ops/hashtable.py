@@ -467,11 +467,16 @@ class KmerTable:
 
     # -- host export (tests / small tables) --------------------------------
 
-    def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
-        """Host mirror: (sorted unique kmers, counts)."""
+    def to_sorted_arrays(
+        self, min_count: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host mirror: (sorted unique kmers, counts), optionally
+        restricted to rows with count >= ``min_count``."""
         keys = np.asarray(self.keys)
         counts = np.asarray(self.counts)
         occ = keys != np.uint64(KMER_SENTINEL)
+        if min_count > 1:
+            occ &= counts >= np.uint32(min_count)
         keys, counts = keys[occ], counts[occ]
         order = np.argsort(keys)
         return keys[order], counts[order]

@@ -319,7 +319,8 @@ def _prefix_scan_sorted_kernel(
 
 # -- compressed host export ---------------------------------------------------
 
-ESC_MAX = 1 << 14  # escape-list width (structural u32-delta overflows)
+ESC_MAX = 1 << 14  # escape-list width (structural key-delta overflows)
+CESC_MAX = 1 << 18  # count-escape width (counts > 255 in the u8 wire)
 CHUNK_GRAN = 1 << 20  # transfer-chunk granularity (elements)
 
 
@@ -359,6 +360,52 @@ def _export_encode_kernel(keys, counts, esc_max: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("esc_max", "cesc_max"))
+def _export_encode24_kernel(keys, counts, esc_max: int, cesc_max: int):
+    """Tighter wire than :func:`_export_encode_kernel`: 24-bit key
+    deltas as three u8 planes plus u8 counts — 4 bytes/key on the link
+    instead of 6. At 20M uniques over a 2^42 keyspace the mean delta is
+    ~18 bits, so 24-bit overflows are vanishingly rare in dense tables;
+    sparse tables fall back to the u32 tier. Counts get the wider
+    escape list (``cesc_max``) because counts > 255 (repeat families)
+    are far likelier than counts > 65535.
+    """
+    n = keys.shape[0]
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint64), keys[:-1]])
+    delta = keys - prev  # u64 wraparound in the sentinel tail is fine
+    pos = jnp.arange(n)
+    esc = (delta > jnp.uint64(0xFF_FFFF)) | (pos == 0)
+    d = jnp.where(esc, jnp.uint64(0), delta)
+    d_lo = (d & jnp.uint64(0xFF)).astype(jnp.uint8)
+    d_mid = ((d >> jnp.uint64(8)) & jnp.uint64(0xFF)).astype(jnp.uint8)
+    d_hi = ((d >> jnp.uint64(16)) & jnp.uint64(0xFF)).astype(jnp.uint8)
+    esc_idx = _escape_positions(esc, esc_max)
+    esc_val = keys[jnp.minimum(esc_idx, n - 1)]
+    cesc = counts > jnp.uint32(0xFF)
+    counts8 = jnp.where(cesc, jnp.uint32(0), counts).astype(jnp.uint8)
+    cesc_idx = _escape_positions(cesc, cesc_max)
+    cesc_val = counts[jnp.minimum(cesc_idx, n - 1)]
+    return (
+        d_lo, d_mid, d_hi, counts8, esc_idx, esc_val, jnp.sum(esc),
+        cesc_idx, cesc_val, jnp.sum(cesc),
+    )
+
+
+@jax.jit
+def _filter_compact_kernel(keys, counts, min_count):
+    """Drop rows below ``min_count`` on device BEFORE export: kept rows
+    stay sorted at the front, dropped rows become a zero-count sentinel
+    tail. One unstable kv-sort (~0.1 s at 2^26 on the target chip) buys
+    proportionally less wire time on the ~25 MB/s tunneled link — the
+    sPCR mirror never needs sub-threshold rows (counts.py
+    FilteredTable; counting.rs:316-350 semantics)."""
+    keep = (counts >= min_count) & (keys != jnp.uint64(EMPTY))
+    masked = jnp.where(keep, keys, jnp.uint64(EMPTY))
+    sk, sc = jax.lax.sort((masked, counts), num_keys=1, is_stable=False)
+    sc = jnp.where(sk == jnp.uint64(EMPTY), jnp.uint32(0), sc)
+    return sk, sc, jnp.sum(keep)
+
+
 @functools.partial(jax.jit, static_argnames=("width",))
 def _slice1d_kernel(arr, start, width: int):
     return jax.lax.dynamic_slice(arr, (start,), (width,))
@@ -387,39 +434,89 @@ def _fetch_prefix(arr, n: int) -> np.ndarray:
     return np.concatenate([np.asarray(s) for s in slices])[:n]
 
 
-def _export_part(keys, counts, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """One partition's occupied prefix as host numpy (keys, counts)."""
+def _decode_keys(cum: np.ndarray, esc_idx: np.ndarray,
+                 esc_val: np.ndarray, n: int) -> np.ndarray:
+    """Reconstruct absolute keys from the delta prefix-sum ``cum`` and
+    the (index, absolute value) escape list:
+    true[i] = esc_val[j] + (cum[i] - cum[esc_idx[j]]) within segment j
+    (mod-2^64 arithmetic: exact)."""
+    keep = esc_idx < n
+    esc_idx, esc_val = esc_idx[keep], esc_val[keep]
+    offsets = esc_val - cum[esc_idx]
+    seg_lens = np.diff(np.append(esc_idx, n))
+    return cum + np.repeat(offsets, seg_lens)
+
+
+def _apply_count_escapes(base: np.ndarray, cesc_idx: np.ndarray,
+                         cesc_val: np.ndarray, n: int) -> np.ndarray:
+    out = base.astype(np.uint32)
+    m = cesc_idx < n
+    out[cesc_idx[m]] = cesc_val[m]
+    return out
+
+
+def _export_part(keys, counts, n: int,
+                 min_count: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """One partition's occupied prefix as host numpy (keys, counts).
+
+    ``min_count`` > 1 drops sub-threshold rows on device first (sPCR
+    mirror exports), shrinking the wire payload before it crosses the
+    slow link. Wire tiers, widest-compatible first: 24-bit deltas + u8
+    counts (4 B/key) -> u32 deltas + u16 counts (6 B/key) -> raw
+    (12 B/key), falling back when a tier's escape lists overflow."""
     if n == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    if min_count > 1:
+        keys, counts, kept = _filter_compact_kernel(
+            keys, counts, jnp.uint32(min_count)
+        )
+        n = int(kept)
+        if n == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+
+    (d_lo, d_mid, d_hi, counts8, esc_idx, esc_val, n_esc,
+     cesc_idx, cesc_val, n_cesc) = _export_encode24_kernel(
+        keys, counts, ESC_MAX, CESC_MAX
+    )
+    if int(n_esc) <= ESC_MAX and int(n_cesc) <= CESC_MAX:
+        d = _fetch_prefix(d_lo, n).astype(np.uint64)
+        d |= _fetch_prefix(d_mid, n).astype(np.uint64) << np.uint64(8)
+        d |= _fetch_prefix(d_hi, n).astype(np.uint64) << np.uint64(16)
+        c8 = _fetch_prefix(counts8, n)
+        out_keys = _decode_keys(
+            np.cumsum(d),
+            np.asarray(esc_idx)[: int(n_esc)].astype(np.int64),
+            np.asarray(esc_val)[: int(n_esc)], n,
+        )
+        out_counts = _apply_count_escapes(
+            c8, np.asarray(cesc_idx)[: int(n_cesc)].astype(np.int64),
+            np.asarray(cesc_val)[: int(n_cesc)], n,
+        )
+        return out_keys, out_counts
+
+    # 24-bit tier overflowed (sparse keyspace / extreme repeat load):
+    # u32-delta + u16-count tier
     (delta32, counts16, esc_idx, esc_val, n_esc,
      cesc_idx, cesc_val, n_cesc) = _export_encode_kernel(
         keys, counts, ESC_MAX
     )
     n_esc, n_cesc = int(n_esc), int(n_cesc)
     if n_esc > ESC_MAX or n_cesc > ESC_MAX:
-        # escape overflow (sparse keyspace, e.g. very large k with few
-        # keys): raw transfer of the occupied prefix
+        # escape overflow here too (e.g. very large k with few keys):
+        # raw transfer of the occupied prefix
         return _fetch_prefix(keys, n), _fetch_prefix(counts, n)
     d32 = _fetch_prefix(delta32, n)
     c16 = _fetch_prefix(counts16, n)
-    esc_idx = np.asarray(esc_idx)[:n_esc]
-    esc_val = np.asarray(esc_val)[:n_esc]
-    cesc_idx = np.asarray(cesc_idx)[:n_cesc]
-    cesc_val = np.asarray(cesc_val)[:n_cesc]
-
     # astype first: np.cumsum(u32, dtype=u64) takes the slow upcasting
     # ufunc path (~1.7 s at 20M); accumulate over a u64 array is ~20x
-    cum = np.cumsum(d32.astype(np.uint64))
-    keep = esc_idx < n
-    esc_idx, esc_val = esc_idx[keep], esc_val[keep]
-    # true[i] = esc_val[j] + (cum[i] - cum[esc_p[j]]) within segment j
-    offsets = esc_val - cum[esc_idx]  # mod-2^64 arithmetic: exact
-    seg_lens = np.diff(np.append(esc_idx, n))
-    out_keys = cum + np.repeat(offsets, seg_lens)
-
-    out_counts = c16.astype(np.uint32)
-    m = cesc_idx < n
-    out_counts[cesc_idx[m]] = cesc_val[m]
+    out_keys = _decode_keys(
+        np.cumsum(d32.astype(np.uint64)),
+        np.asarray(esc_idx)[:n_esc], np.asarray(esc_val)[:n_esc], n,
+    )
+    out_counts = _apply_count_escapes(
+        c16, np.asarray(cesc_idx)[:n_cesc], np.asarray(cesc_val)[:n_cesc],
+        n,
+    )
     return out_keys, out_counts
 
 
@@ -775,15 +872,20 @@ class SortedKmerStore:
 
     # -- host export -----------------------------------------------------------
 
-    def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
-        """Host mirror: (sorted unique kmers, counts).
+    def to_sorted_arrays(
+        self, min_count: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host mirror: (sorted unique kmers, counts), optionally
+        restricted to rows with count >= ``min_count`` (filtered on
+        device, so sub-threshold rows never cross the link).
 
-        The deployment link's device->host path runs at ~30-40 MB/s
+        The deployment link's device->host path runs at ~25-40 MB/s
         (tunneled PJRT), so the export is the sPCR mirror's dominant
-        cost. Keys travel as u32 deltas of the sorted run and counts as
-        u16, each with a small escape list for overflows, and only the
+        cost. Keys travel as 24-bit deltas of the sorted run (three u8
+        planes) and counts as u8, each with a small escape list for
+        overflows (u32/u16 and raw fallback tiers), and only the
         occupied prefix is transferred (pow2-chunked slices, compiled
-        once per width) — ~6 bytes/key instead of 12 bytes/slot of the
+        once per width) — ~4 bytes/key instead of 12 bytes/slot of the
         padded partition width.
         """
         s = self._flushed()
@@ -791,7 +893,7 @@ class SortedKmerStore:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
         keys, counts = [], []
         for p in s.parts:
-            pk, pc = _export_part(p.kmers, p.counts, p.n)
+            pk, pc = _export_part(p.kmers, p.counts, p.n, min_count)
             keys.append(pk)
             counts.append(pc)
         return np.concatenate(keys), np.concatenate(counts)

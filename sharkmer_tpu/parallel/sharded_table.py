@@ -346,10 +346,14 @@ class ShardedKmerTable:
             all_counts.append(np.asarray(counts[:nm]))
         return np.concatenate(all_kmers), np.concatenate(all_counts)
 
-    def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+    def to_sorted_arrays(
+        self, min_count: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
         keys = np.asarray(self.keys).reshape(-1)
         counts = np.asarray(self.counts).reshape(-1)
         occ = keys != np.uint64(KMER_SENTINEL)
+        if min_count > 1:
+            occ &= counts >= np.uint32(min_count)
         keys, counts = keys[occ], counts[occ]
         order = np.argsort(keys)
         return keys[order], counts[order]

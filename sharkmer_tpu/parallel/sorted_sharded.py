@@ -344,11 +344,15 @@ class ShardedSortedStore:
             all_c.append(np.asarray(cc[:nm]))
         return np.concatenate(all_k), np.concatenate(all_c)
 
-    def to_sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+    def to_sorted_arrays(
+        self, min_count: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
         s = self._flushed()
         keys = np.asarray(s.kmers).reshape(-1)
         counts = np.asarray(s.counts).reshape(-1)
         occ = keys != EMPTY
+        if min_count > 1:
+            occ &= counts >= np.uint32(min_count)
         keys, counts = keys[occ], counts[occ]
         order = np.argsort(keys)
         return keys[order], counts[order]

@@ -93,6 +93,12 @@ class FilteredTable:
         return self.table.k
 
     def _get_mirror(self):
+        """Build (sorted kmers, counts) restricted to rows >= the
+        view's min_count: sub-threshold rows are invisible through a
+        FilteredTable anyway, and dropping them on device shrinks the
+        export payload before it crosses the slow link."""
+        if self._mirror is not None:  # hot path: one read per BFS wave
+            return self._mirror
         with self._lock:
             if self._mirror is None:
                 pairs = self.table.to_dict() if not hasattr(
@@ -101,10 +107,14 @@ class FilteredTable:
                 if pairs is not None:  # generic fallback
                     kmers = np.fromiter(pairs.keys(), dtype=np.uint64, count=len(pairs))
                     counts = np.fromiter(pairs.values(), dtype=np.uint32, count=len(pairs))
+                    keep = counts >= np.uint32(max(self.min_count, 1))
+                    kmers, counts = kmers[keep], counts[keep]
                     order = np.argsort(kmers)
                     self._mirror = (kmers[order], counts[order])
                 else:
-                    self._mirror = self.table.to_sorted_arrays()
+                    self._mirror = self.table.to_sorted_arrays(
+                        min_count=self.min_count
+                    )
         return self._mirror
 
     def warm_caches(self) -> None:
@@ -166,8 +176,11 @@ class FilteredTable:
         """All table k-mers starting with an oligo on either strand
         (find_oligos_in_kmers semantics: forward precedence, RC hits
         revcomp-normalized). Served from the host mirror as sorted
-        range queries when available; device sweep otherwise."""
-        if not self._mirror_available():
+        range queries when available; device sweep otherwise. A scan
+        below the view's own threshold (possible with per-primer
+        min_count overrides) can't be answered by the filtered mirror,
+        so it goes to the device table too."""
+        if not self._mirror_available() or min_count < self.min_count:
             return self.table.prefix_scan(oligos, oligo_len, min_count)
 
         from ..ops.encoding import revcomp_kmers_np

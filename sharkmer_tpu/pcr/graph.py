@@ -254,11 +254,6 @@ def create_seed_graph(
     return graph, node_lookup
 
 
-def _median_edge_count(graph: DBGraph, default: float) -> float:
-    m = median_f64(graph.edge_counts())
-    return default if m is None else m
-
-
 def extend_graph(
     graph: DBGraph,
     node_lookup: dict[int, int],
@@ -278,7 +273,14 @@ def extend_graph(
     found_path = False
 
     last_check = 0
-    median_edge_count = _median_edge_count(graph, float(min_count))
+    # live edge-count list: extension only ever ADDS edges, so appending
+    # at each add_edge keeps this exact while avoiding the O(E) rebuild
+    # of graph.edge_counts() at every median-refresh cadence point
+    edge_counts_live: list[int] = graph.edge_counts()
+    median_edge_count = (
+        median_f64(edge_counts_live)
+        if edge_counts_live else float(min_count)
+    )
     last_median_check = 0
 
     # wave entries: (node_id, dir); candidates precomputed per entry
@@ -300,17 +302,25 @@ def extend_graph(
             added_by_rev.add(nid)
 
     budget_exceeded = False
+    bases_u64 = np.arange(4, dtype=np.uint64)
     while wave and not budget_exceeded:
-        # --- batched device lookup for the whole wave -----------------------
-        cand = np.empty((len(wave), 4), dtype=np.uint64)
-        for i, (nid, d) in enumerate(wave):
-            sub = graph.nodes[nid].sub_kmer
-            if d == FWD:
-                base_kmers = [(sub << 2) | b for b in range(4)]
-            else:
-                base_kmers = [(b << prefix_shift) | sub for b in range(4)]
-            cand[i] = base_kmers
+        # --- batched lookup for the whole wave ------------------------------
+        # vectorized candidate build + ONE bulk tolist() per wave: the
+        # per-entry python shifts and per-element int(np_scalar) reads
+        # dominate host time otherwise
+        subs = np.fromiter(
+            (graph.nodes[nid].sub_kmer for nid, _ in wave),
+            dtype=np.uint64, count=len(wave),
+        )
+        dirs = np.fromiter(
+            (d for _, d in wave), dtype=np.uint8, count=len(wave)
+        )
+        fwd_cand = (subs[:, None] << np.uint64(2)) | bases_u64[None, :]
+        rev_cand = (bases_u64[None, :] << np.uint64(prefix_shift)) | subs[:, None]
+        cand = np.where(dirs[:, None] == FWD, fwd_cand, rev_cand)
         cand_counts = counts.get_canonical_many(cand.reshape(-1)).reshape(-1, 4)
+        cand_list = cand.tolist()
+        counts_list = cand_counts.tolist()
 
         next_wave: list[tuple[int, int]] = []
         for i, (node, d) in enumerate(wave):
@@ -337,7 +347,8 @@ def extend_graph(
                 n_nodes > last_median_check
                 and (n_nodes - last_median_check) > EXTENSION_EVALUATION_FREQUENCY
             ):
-                median_edge_count = _median_edge_count(graph, float(min_count))
+                m = median_f64(edge_counts_live)
+                median_edge_count = float(min_count) if m is None else m
                 last_median_check = n_nodes - (
                     n_nodes % EXTENSION_EVALUATION_FREQUENCY
                 )
@@ -354,11 +365,13 @@ def extend_graph(
                 )
 
             sub_kmer = graph.nodes[node].sub_kmer
+            row_counts = counts_list[i]
+            row_kmers = cand_list[i]
             for b in range(4):
-                count = int(cand_counts[i, b])
+                count = row_counts[b]
                 if count < min_count or count == 0:
                     continue
-                kmer = int(cand[i, b])
+                kmer = row_kmers[b]
                 new_sub_kmer = (kmer & suffix_mask) if d == FWD else (kmer >> 2)
                 if new_sub_kmer == sub_kmer:
                     continue  # self-loop
@@ -368,6 +381,7 @@ def extend_graph(
                     if d == FWD:
                         if graph.find_edge(node, existing) is None:
                             graph.add_edge(node, existing, DBEdge(node, existing, count))
+                            edge_counts_live.append(count)
                             if existing in added_by_rev:
                                 if not found_path:
                                     log.info(
@@ -378,6 +392,7 @@ def extend_graph(
                     else:
                         if graph.find_edge(existing, node) is None:
                             graph.add_edge(existing, node, DBEdge(existing, node, count))
+                            edge_counts_live.append(count)
                             if existing in added_by_fwd:
                                 if not found_path:
                                     log.info(
@@ -397,6 +412,7 @@ def extend_graph(
                     else:
                         added_by_rev.add(new_node)
                         graph.add_edge(new_node, node, DBEdge(new_node, node, count))
+                    edge_counts_live.append(count)
                     next_wave.append((new_node, d))
 
         wave = next_wave

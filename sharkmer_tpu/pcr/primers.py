@@ -25,6 +25,9 @@ FORWARD, REVERSE = "forward", "reverse"
 MAX_RESOLVED_VARIANTS = 10_000
 
 
+_BASE_CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
 def string_to_oligo(seq: str) -> tuple[int, int]:
     """ACGT string -> (packed u64, length). primers.rs:33-54."""
     if len(seq) > 32:
@@ -32,12 +35,12 @@ def string_to_oligo(seq: str) -> tuple[int, int]:
             f"Oligo sequence length {len(seq)} exceeds maximum of 32 bases"
         )
     kmer = 0
-    for c in seq:
-        try:
-            base = "ACGT".index(c)
-        except ValueError:
-            raise ValueError(f"Invalid nucleotide {c} in {seq}") from None
-        kmer = (kmer << 2) | base
+    code = _BASE_CODE
+    try:
+        for c in seq:
+            kmer = (kmer << 2) | code[c]
+    except KeyError as e:
+        raise ValueError(f"Invalid nucleotide {e.args[0]} in {seq}") from None
     return kmer, len(seq)
 
 

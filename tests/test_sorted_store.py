@@ -298,3 +298,56 @@ def test_compressed_export_escapes():
     got_k, got_c = s.to_sorted_arrays()
     np.testing.assert_array_equal(got_k, keys)
     assert (got_c == 1).all()
+
+    # counts in (255, 65535]: u8-wire escapes, no u16 escapes
+    s = SortedKmerStore.create(21)
+    ks = np.array([11, 13, 17, 19], np.uint64)
+    cs = np.array([1, 300, 255, 65_535], np.uint32)
+    s.insert_kmers(ks, cs)
+    got_k, got_c = s.to_sorted_arrays()
+    assert got_k.tolist() == ks.tolist()
+    assert got_c.tolist() == cs.tolist()
+
+
+def test_filtered_export_matches_host_filter():
+    """to_sorted_arrays(min_count=m) (device-side pre-filter) must
+    equal the host-filtered full export, across partition splits."""
+    rng = np.random.default_rng(41)
+    store = SortedKmerStore.create(21)
+    store.max_agg = 1 << 10  # force multiple partitions
+    for _ in range(4):
+        batch = rng.integers(0, 1 << 14, size=900, dtype=np.uint64)
+        store.insert_kmers(batch)
+    full_k, full_c = store.to_sorted_arrays()
+    for m in (1, 2, 3, 10):
+        got_k, got_c = store.to_sorted_arrays(min_count=m)
+        keep = full_c >= m
+        np.testing.assert_array_equal(got_k, full_k[keep])
+        np.testing.assert_array_equal(got_c, full_c[keep])
+    # empty result when nothing clears the bar
+    got_k, got_c = store.to_sorted_arrays(min_count=1 << 30)
+    assert len(got_k) == 0 and len(got_c) == 0
+
+
+def test_scan_below_view_threshold_uses_device_path():
+    """find_primer_matches with a min_count below the view's own
+    threshold must still see sub-threshold rows (the filtered mirror
+    can't answer it; the device table can)."""
+    from sharkmer_tpu.pcr.counts import FilteredTable
+
+    k = 9
+    olen = 4
+    oligo = seq_to_kmer("ACGT")
+    base = int(oligo) << (2 * (k - olen))
+    store = SortedKmerStore.create(k)
+    store.insert_kmers(
+        np.array([base | 1, base | 2], np.uint64),
+        np.array([1, 5], np.uint32),
+    )
+    ft = FilteredTable(store, min_count=3, use_mirror=True)
+    ft.warm_caches()
+    assert len(ft._get_mirror()[0]) == 1  # mirror holds only count>=3
+    got_k, got_c = ft.find_primer_matches(
+        np.array([oligo], np.uint64), olen, min_count=1
+    )
+    assert sorted(got_c.tolist()) == [1, 5]
