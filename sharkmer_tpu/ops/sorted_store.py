@@ -144,7 +144,7 @@ _aggregate_kernel = functools.partial(jax.jit, donate_argnums=(0, 1))(
 )
 
 
-def _aggregate_ingest_impl(kmers, use_pallas: bool):
+def _aggregate_ingest_impl(kmers, use_pallas: bool, count_bits: int):
     """Fused drain of a raw k-mer buffer (every count implicitly 1).
 
     Cheaper than ``_aggregate_impl``: the first sort carries no values
@@ -153,6 +153,18 @@ def _aggregate_ingest_impl(kmers, use_pallas: bool):
     TPU, ONE Pallas VMEM pass (``pallas_kernels.run_starts``) instead
     of the multi-pass XLA scan. Run totals are bounded by the buffer
     width (< 2^31), far below u32 saturation.
+
+    Compaction (unique keys to the front, sentinels behind): a k-mer
+    uses only 2k key bits, so for small enough k (``count_bits`` =
+    64-2k >= 20) key and run total pack into ONE u64 and the compaction
+    runs as a single-key sort — measured 445 ms vs 685 ms for the
+    u64+u32 kv-sort at 2^27 on the target chip. Only EMPTY packs to
+    all-ones (a canonical k-mer is never 2^2k-1: its revcomp would be
+    0 and win canonicalization), so sentinels stay unambiguous. If any
+    run total would saturate the packed field (a single k-mer filling
+    >= 2^count_bits slots of the buffer — poly-A class repeats), a
+    runtime ``lax.cond`` falls back to the exact kv-sort, keeping
+    counts exact for ALL inputs.
     """
     n = kmers.shape[0]
     sk = jax.lax.sort(kmers, is_stable=False)  # sentinels sort to the end
@@ -167,14 +179,44 @@ def _aggregate_ingest_impl(kmers, use_pallas: bool):
         run_start = jax.lax.cummax(jnp.where(first, pos, 0))
     run_total = (pos - run_start + 1).astype(jnp.uint32)
     keep = last & (sk != jnp.uint64(EMPTY))
-    out_k = jnp.where(keep, sk, jnp.uint64(EMPTY))
-    out_c = jnp.where(keep, run_total, jnp.uint32(0))
-    out_k, out_c = jax.lax.sort((out_k, out_c), num_keys=1, is_stable=False)
-    return out_k, out_c, jnp.sum(keep, dtype=jnp.int64)
+    n_unique = jnp.sum(keep, dtype=jnp.int64)
+
+    def _compact_kv(_):
+        out_k = jnp.where(keep, sk, jnp.uint64(EMPTY))
+        out_c = jnp.where(keep, run_total, jnp.uint32(0))
+        return jax.lax.sort((out_k, out_c), num_keys=1, is_stable=False)
+
+    if count_bits < 20:
+        out_k, out_c = _compact_kv(None)
+        return out_k, out_c, n_unique
+
+    shift = jnp.uint64(count_bits)
+    cap = jnp.uint64((1 << count_bits) - 1)
+    sentinel = jnp.uint64(0xFFFF_FFFF_FFFF_FFFF)
+
+    def _compact_packed(_):
+        packed = jnp.where(
+            keep,
+            (sk << shift) | run_total.astype(jnp.uint64),
+            sentinel,
+        )
+        sp = jax.lax.sort(packed, is_stable=False)
+        sent = sp == sentinel
+        out_k = jnp.where(sent, jnp.uint64(EMPTY), sp >> shift)
+        out_c = jnp.where(sent, jnp.uint32(0), (sp & cap).astype(jnp.uint32))
+        return out_k, out_c
+
+    max_total = jnp.max(jnp.where(keep, run_total, jnp.uint32(0)))
+    out_k, out_c = jax.lax.cond(
+        max_total.astype(jnp.uint64) < cap, _compact_packed, _compact_kv,
+        None,
+    )
+    return out_k, out_c, n_unique
 
 
 _aggregate_ingest_jit = functools.partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("use_pallas",)
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("use_pallas", "count_bits"),
 )(_aggregate_ingest_impl)
 
 
@@ -185,11 +227,13 @@ def _pallas_drain_enabled() -> bool:
     return _platform() == "tpu"
 
 
-def _aggregate_ingest_kernel(kmers):
+def _aggregate_ingest_kernel(kmers, k: int = 0):
     """Drain dispatch: the Pallas run-start kernel serves widths that
     tile evenly (every production width — buffers are powers of two at
     least 2^17); other widths and non-TPU platforms use the XLA cummax
-    formulation, which is also the differential oracle in tests."""
+    formulation, which is also the differential oracle in tests. ``k``
+    (0 = unknown) enables the packed single-sort compaction when the
+    key fits 64 - 20 bits."""
     from .pallas_kernels import HAVE_PALLAS, LANES
 
     tile = 256 * LANES
@@ -198,7 +242,10 @@ def _aggregate_ingest_kernel(kmers):
         and kmers.shape[0] % tile == 0
         and _pallas_drain_enabled()
     )
-    return _aggregate_ingest_jit(kmers, use_pallas=use_pallas)
+    count_bits = 64 - 2 * k if k else 0
+    return _aggregate_ingest_jit(
+        kmers, use_pallas=use_pallas, count_bits=count_bits
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles",))
@@ -660,7 +707,7 @@ class SortedKmerStore:
         if width != self._buf_cap:
             buf = jax.lax.slice(buf, (0,), (width,))
         self._fill = 0
-        uk, uc, nu = _aggregate_ingest_kernel(buf)
+        uk, uc, nu = _aggregate_ingest_kernel(buf, self.k)
         nu = int(nu)  # one host sync per drain (drains are rare)
         if nu == 0:
             return

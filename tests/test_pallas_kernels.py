@@ -102,8 +102,42 @@ def test_drain_pallas_matches_xla(monkeypatch):
     buf = _sorted_keys_with_runs(TILE, TILE // 4, seed=9,
                                  sentinel_tail=TILE // 5)
     rng.shuffle(buf)  # drains sort internally
-    k_p, c_p, n_p = _aggregate_ingest_impl(jnp.asarray(buf), True)
-    k_x, c_x, n_x = _aggregate_ingest_impl(jnp.asarray(buf), False)
+    k_p, c_p, n_p = _aggregate_ingest_impl(jnp.asarray(buf), True, 0)
+    k_x, c_x, n_x = _aggregate_ingest_impl(jnp.asarray(buf), False, 0)
     assert int(n_p) == int(n_x)
     np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_x))
     np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
+
+
+def test_drain_packed_compaction_matches_kv():
+    """The packed single-sort compaction (k <= 21) must be bit-identical
+    to the kv-sort compaction, including the n_unique count."""
+    rng = np.random.default_rng(3)
+    # 42-bit keyspace (k=21) with heavy duplication + sentinel tail
+    buf = rng.integers(0, 1 << 42, size=4096, dtype=np.uint64)
+    buf = np.concatenate([buf, buf[:1024], buf[:64],
+                          np.full(512, (1 << 64) - 1, np.uint64)])
+    k_kv, c_kv, n_kv = _aggregate_ingest_impl(jnp.asarray(buf), False, 0)
+    k_pk, c_pk, n_pk = _aggregate_ingest_impl(jnp.asarray(buf), False, 22)
+    assert int(n_kv) == int(n_pk)
+    np.testing.assert_array_equal(np.asarray(k_kv), np.asarray(k_pk))
+    np.testing.assert_array_equal(np.asarray(c_kv), np.asarray(c_pk))
+
+
+def test_drain_packed_overflow_falls_back_exactly():
+    """A run total that saturates the packed count field must trigger
+    the runtime kv fallback and stay exact (poly-A class repeats)."""
+    # count_bits=20 -> cap 2^20-1; one key repeated 2^20+5 times
+    reps = (1 << 20) + 5
+    buf = np.concatenate([
+        np.full(reps, 7, np.uint64),
+        np.arange(100, 200, dtype=np.uint64),
+        np.full(123, (1 << 64) - 1, np.uint64),
+    ])
+    k_o, c_o, n_o = _aggregate_ingest_impl(jnp.asarray(buf), False, 20)
+    assert int(n_o) == 101
+    keys = np.asarray(k_o)[:101]
+    counts = np.asarray(c_o)[:101]
+    assert keys[0] == 7 and counts[0] == reps
+    np.testing.assert_array_equal(keys[1:], np.arange(100, 200))
+    assert (counts[1:] == 1).all()
