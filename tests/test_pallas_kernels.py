@@ -124,6 +124,39 @@ def test_drain_packed_compaction_matches_kv():
     np.testing.assert_array_equal(np.asarray(c_kv), np.asarray(c_pk))
 
 
+def test_merge_aggregate_packed_matches_kv():
+    """_aggregate_impl with count_bits set must match the kv formulation
+    for benign counts (packed route), for counts exceeding the packed
+    field (runtime kv fallback), and for the all-ones key edge case."""
+    from sharkmer_tpu.ops.sorted_store import _aggregate_impl
+
+    rng = np.random.default_rng(11)
+    kmers = rng.integers(0, 1 << 42, size=2048, dtype=np.uint64)
+    kmers = np.concatenate([kmers, kmers[:512],
+                            np.full(256, (1 << 64) - 1, np.uint64)])
+
+    for counts in (
+        rng.integers(1, 200, size=len(kmers), dtype=np.uint32),  # packed
+        rng.integers(1, 1 << 31, size=len(kmers), dtype=np.uint32),  # kv
+    ):
+        c = counts.copy()
+        c[-256:] = 0  # sentinel padding carries zero counts
+        ref = _aggregate_impl(jnp.asarray(kmers), jnp.asarray(c), 0)
+        got = _aggregate_impl(jnp.asarray(kmers), jnp.asarray(c), 22)
+        assert int(ref[2]) == int(got[2])
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+    # a real key equal to 2^2k-1 must force the kv route and stay exact
+    kmers2 = np.array([5, (1 << 42) - 1, (1 << 42) - 1, 9], np.uint64)
+    counts2 = np.array([3, 4, 5, 1], np.uint32)
+    ref = _aggregate_impl(jnp.asarray(kmers2), jnp.asarray(counts2), 0)
+    got = _aggregate_impl(jnp.asarray(kmers2), jnp.asarray(counts2), 22)
+    assert int(ref[2]) == int(got[2]) == 3
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
 def test_drain_packed_overflow_falls_back_exactly():
     """A run total that saturates the packed count field must trigger
     the runtime kv fallback and stay exact (poly-A class repeats)."""
