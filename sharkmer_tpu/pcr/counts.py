@@ -160,15 +160,31 @@ class FilteredTable:
 
     def _get_rc_order(self):
         """Mirror rows ordered by revcomp(kmer): turns reverse-strand
-        prefix matches into contiguous range queries too."""
+        prefix matches into contiguous range queries too.
+
+        The argsort of a ~20M-row mirror is the single biggest host cost
+        of the sPCR phase (~4.7 s single-threaded numpy), so use torch's
+        multithreaded sort when available. A k-mer is < 2^62, so the
+        int64 view preserves order (sign bit never set)."""
         mk, _ = self._get_mirror()  # outside the lock (takes it itself)
         with self._lock:
             if getattr(self, "_rc_cache", None) is None:
                 from ..ops.encoding import revcomp_kmers_np
 
                 rc = revcomp_kmers_np(mk, self.k)
-                order = np.argsort(rc)
-                self._rc_cache = (rc[order], order)
+                try:
+                    import torch
+
+                    vals, idx = torch.sort(
+                        torch.from_numpy(rc.view(np.int64))
+                    )
+                    self._rc_cache = (
+                        vals.numpy().view(np.uint64),
+                        idx.numpy(),
+                    )
+                except ImportError:  # pragma: no cover
+                    order = np.argsort(rc)
+                    self._rc_cache = (rc[order], order)
         return self._rc_cache
 
     def find_primer_matches(self, oligos: np.ndarray, oligo_len: int,
