@@ -587,15 +587,14 @@ def _export_part(keys, counts, n: int,
         if n == 0:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
 
-    (d_lo, d_mid, d_hi, counts8, esc_idx, esc_val, n_esc,
+    (packed, esc_idx, esc_val, n_esc,
      cesc_idx, cesc_val, n_cesc) = _export_encode24_kernel(
         keys, counts, ESC_MAX, CESC_MAX
     )
     if int(n_esc) <= ESC_MAX and int(n_cesc) <= CESC_MAX:
-        d = _fetch_prefix(d_lo, n).astype(np.uint64)
-        d |= _fetch_prefix(d_mid, n).astype(np.uint64) << np.uint64(8)
-        d |= _fetch_prefix(d_hi, n).astype(np.uint64) << np.uint64(16)
-        c8 = _fetch_prefix(counts8, n)
+        p = _fetch_prefix(packed, n)
+        d = (p & np.uint32(0xFF_FFFF)).astype(np.uint64)
+        c8 = (p >> np.uint32(24)).astype(np.uint32)
         out_keys = _decode_keys(
             np.cumsum(d),
             np.asarray(esc_idx)[: int(n_esc)].astype(np.int64),

@@ -28,7 +28,9 @@ class Progress:
         self.enabled = enabled
         self.min_interval = min_interval
         self._lock = threading.Lock()
-        self._last_t = 0.0
+        # -inf so the first tick always draws (monotonic() can be < the
+        # interval right after boot, which would silently drop it)
+        self._last_t = float("-inf")
         self._last_w = 0  # width of the currently displayed line
 
     def tick(self, msg: str, *, force: bool = False) -> None:
@@ -54,7 +56,7 @@ class Progress:
                 sys.stderr.write("\r" + " " * self._last_w + "\r")
                 sys.stderr.flush()
             self._last_w = 0
-            self._last_t = 0.0
+            self._last_t = float("-inf")
 
 
 # Shared instance: ingest and the per-gene extension workers all write
