@@ -432,6 +432,7 @@ def _prefix_scan_sorted_kernel(
 ESC_MAX = 1 << 14  # escape-list width (structural key-delta overflows)
 CESC_MAX = 1 << 18  # count-escape width (counts > 255 in the u8 wire)
 CHUNK_GRAN = 1 << 20  # transfer-chunk granularity (elements)
+EXPORT_CHUNK = 1 << 22  # streamed packed-export chunk (16 MB of u32)
 
 
 def _escape_positions(flags, esc_max: int):
@@ -547,6 +548,45 @@ def _fetch_prefix(arr, n: int) -> np.ndarray:
     return np.concatenate([np.asarray(s) for s in slices])[:n]
 
 
+def _stream_decode_packed(packed, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the packed (24-bit delta | count<<24) plane while it is
+    still crossing the link: async host copies for every EXPORT_CHUNK
+    slice are issued up front, then each chunk is unpacked + prefix-
+    summed as it lands, overlapping host decode with the wire time of
+    the chunks behind it. Returns (delta prefix-sum, u8 counts) for
+    the occupied prefix. Exact mod-2^64 like a monolithic cumsum."""
+    W = int(packed.shape[0])
+    n = min(int(n), W)
+    if W <= EXPORT_CHUNK or W % EXPORT_CHUNK:
+        slices = [packed]
+    else:
+        units = -(-n // EXPORT_CHUNK)
+        slices = [
+            _slice1d_kernel(packed, u * EXPORT_CHUNK, EXPORT_CHUNK)
+            for u in range(units)
+        ]
+        for s in slices:
+            s.copy_to_host_async()
+    cum = np.empty(n, np.uint64)
+    c8 = np.empty(n, np.uint32)
+    pos = 0
+    carry = np.uint64(0)
+    for s in slices:
+        host = np.asarray(s)
+        take = min(host.shape[0], n - pos)
+        if take <= 0:
+            break
+        sl = host[:take]
+        d = (sl & np.uint32(0xFF_FFFF)).astype(np.uint64)
+        if pos:
+            d[0] += carry
+        np.cumsum(d, out=cum[pos : pos + take])
+        carry = cum[pos + take - 1]
+        c8[pos : pos + take] = sl >> np.uint32(24)
+        pos += take
+    return cum, c8
+
+
 def _decode_keys(cum: np.ndarray, esc_idx: np.ndarray,
                  esc_val: np.ndarray, n: int) -> np.ndarray:
     """Reconstruct absolute keys from the delta prefix-sum ``cum`` and
@@ -592,11 +632,9 @@ def _export_part(keys, counts, n: int,
         keys, counts, ESC_MAX, CESC_MAX
     )
     if int(n_esc) <= ESC_MAX and int(n_cesc) <= CESC_MAX:
-        p = _fetch_prefix(packed, n)
-        d = (p & np.uint32(0xFF_FFFF)).astype(np.uint64)
-        c8 = (p >> np.uint32(24)).astype(np.uint32)
+        cum, c8 = _stream_decode_packed(packed, n)
         out_keys = _decode_keys(
-            np.cumsum(d),
+            cum,
             np.asarray(esc_idx)[: int(n_esc)].astype(np.int64),
             np.asarray(esc_val)[: int(n_esc)], n,
         )

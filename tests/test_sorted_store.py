@@ -277,6 +277,35 @@ def test_prefix_scan_overflow_grows_and_retries():
     )
 
 
+def test_streamed_export_chunk_boundaries(monkeypatch):
+    """The streamed packed-plane decode must be exact across transfer
+    chunk boundaries: cumsum carry between chunks, escapes landing on
+    and around boundaries, counts in the high byte."""
+    import sharkmer_tpu.ops.sorted_store as ss
+
+    monkeypatch.setattr(ss, "EXPORT_CHUNK", 64)
+    rng = np.random.default_rng(7)
+    # dense keys (small deltas) with a few huge gaps (delta escapes)
+    # planted exactly at multiples of the chunk width
+    deltas = rng.integers(1, 1 << 20, size=500, dtype=np.uint64)
+    deltas[64] = 1 << 30  # escape on a chunk boundary
+    deltas[63] = 1 << 31  # escape just before one
+    deltas[200] = 1 << 40
+    keys = np.cumsum(deltas).astype(np.uint64)
+    counts = rng.integers(1, 1000, size=500, dtype=np.uint32)
+    counts[128] = 70_000  # count escape on a boundary
+    s = SortedKmerStore.create(31)
+    s.insert_kmers(keys, counts)
+    got_k, got_c = s.to_sorted_arrays()
+    np.testing.assert_array_equal(got_k, keys)
+    np.testing.assert_array_equal(got_c, counts)
+    # filtered export through the same streamed path
+    got_k, got_c = s.to_sorted_arrays(min_count=500)
+    keep = counts >= 500
+    np.testing.assert_array_equal(got_k, keys[keep])
+    np.testing.assert_array_equal(got_c, counts[keep])
+
+
 def test_compressed_export_escapes():
     """to_sorted_arrays' delta/escape transfer encoding must be exact
     for huge counts (u16 escapes), huge key gaps (u32 delta escapes),
