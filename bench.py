@@ -80,16 +80,29 @@ def make_genome_codes(genome_mbp: float, seed: int = 0,
 
 
 def make_reads_codes(n_reads: int, read_len: int, genome_mbp: float,
-                     seed: int = 0, panel: str | None = None):
-    """Reads as uint8 code batches sliced straight out of a code genome."""
+                     seed: int = 0, panel: str | None = None,
+                     error_rate: float = 0.0):
+    """Reads as uint8 code batches sliced straight out of a code genome.
+
+    ``error_rate`` injects uniform random substitution errors per base
+    (Illumina-like ~0.3-1%), the workload shape the reference's real
+    ENA benchmarks have: error k-mers inflate the unique-key load ~5x
+    and create the tips/bubbles the pruning machinery exists for."""
     rng = np.random.default_rng(seed)
     genome = make_genome_codes(genome_mbp, seed, panel)
     starts = rng.integers(0, len(genome) - read_len, size=n_reads)
     idx = starts[:, None] + np.arange(read_len)[None, :]
-    return genome[idx]
+    reads = genome[idx]
+    if error_rate > 0.0:
+        err = rng.random(reads.shape) < error_rate
+        # substitute with a DIFFERENT base: add 1..3 mod 4
+        shift = rng.integers(1, 4, size=reads.shape, dtype=np.uint8)
+        reads = np.where(err, (reads + shift) % 4, reads).astype(np.uint8)
+    return reads
 
 
-def main():
+def build_parser() -> argparse.ArgumentParser:
+    """Shared by profile_spcr.py so profiles track bench defaults."""
     parser = argparse.ArgumentParser()
     parser.add_argument("--reads", type=int, default=1_000_000)
     parser.add_argument("--read-len", type=int, default=150)
@@ -103,93 +116,47 @@ def main():
                         help="panel whose amplicons are embedded + amplified")
     parser.add_argument("--threads", type=int, default=4,
                         help="gene-level sPCR thread pool")
+    parser.add_argument("--error-rate", type=float, default=0.0,
+                        help="per-base sequencing-error rate for the reads")
     parser.add_argument("--quick", action="store_true",
                         help="small shapes for smoke testing")
-    args = parser.parse_args()
+    return parser
 
+
+def main():
+    args = build_parser().parse_args()
     if args.quick:
         args.reads, args.batch = 50_000, 1 << 14
         args.capacity, args.genome_mbp = 1 << 22, 1.0
-
-    import jax
-    import jax.numpy as jnp
-
-    from sharkmer_tpu.ops.encoding import canonical_kmers
-    from sharkmer_tpu.ops.hashtable import (
-        KmerTable,
-        _histogram_kernel,
-        _insert_kernel,
-    )
-
-    k = args.k
-    if args.backend == "sorted":
-        return run_sorted(args)
-    codes_all = make_reads_codes(args.reads, args.read_len, args.genome_mbp)
-    n_batches = -(-args.reads // args.batch)
-
-    # pad the read count so every batch compiles to one shape
-    pad = n_batches * args.batch - args.reads
-    if pad:
-        codes_all = np.concatenate(
-            [codes_all, np.full((pad, args.read_len), 5, np.uint8)]
-        )
-
-    @jax.jit
-    def step(keys, counts, n_acc, codes):
-        kmers, valid = canonical_kmers(codes, k)
-        keys, counts = _insert_kernel(
-            keys, counts, kmers.reshape(-1),
-            jnp.ones((kmers.size,), jnp.uint32),
-        )
-        return keys, counts, n_acc + jnp.sum(valid, dtype=jnp.uint64)
-
-    table = KmerTable.create(k, capacity=args.capacity)
-    keys, counts = table.keys, table.counts
-    n_acc = jnp.zeros((), jnp.uint64)
-
-    # warmup / compile on the first batch shape
-    codes0 = jnp.asarray(codes_all[: args.batch])
-    keys, counts, n_acc = step(keys, counts, n_acc, codes0)
-    _ = int(n_acc)
-    # reset table state after warmup so timing includes identical work
-    table = KmerTable.create(k, capacity=args.capacity)
-    keys, counts = table.keys, table.counts
-    n_acc = jnp.zeros((), jnp.uint64)
-
-    t0 = time.perf_counter()
-    for b in range(n_batches):
-        codes = jnp.asarray(codes_all[b * args.batch : (b + 1) * args.batch])
-        keys, counts, n_acc = step(keys, counts, n_acc, codes)
-    histo = _histogram_kernel(counts, 10_000)
-    total_kmers = int(n_acc)  # forces the whole chain to completion
-    n_unique = int(jnp.sum(histo))
-    elapsed = time.perf_counter() - t0
-    assert n_unique > 0
-
-    kmers_per_sec = total_kmers / elapsed
-    print(json.dumps({
-        "metric": "kmers_per_sec_per_chip",
-        "value": round(kmers_per_sec),
-        "unit": "kmer/s",
-        "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
-    }))
+    return run_bench(args)
 
 
-def run_sorted(args):
-    """Sorted-run backend benchmark through the production store
-    (SortedKmerStore): encode + sort/RLE aggregation + LSM merges +
-    final spectrum, then the full cnidaria sPCR panel against the
-    built table. Warmup pass compiles every count shape, then the
-    timed pass reruns the identical sequence on a fresh store."""
+def run_bench(args):
+    """Benchmark through the production store (sorted backend default,
+    open-addressing hash backend with --backend hash): encode +
+    aggregation + merges + final spectrum, then the full cnidaria sPCR
+    panel against the built table. Warmup pass compiles every count
+    shape, then the timed pass reruns the identical sequence on a
+    fresh store."""
     import tempfile
 
     import jax.numpy as jnp
 
-    from sharkmer_tpu.ops.sorted_store import SortedKmerStore
+    if args.backend == "sorted":
+        from sharkmer_tpu.ops.sorted_store import SortedKmerStore
+
+        def make_store():
+            return SortedKmerStore.create(args.k)
+    else:
+        from sharkmer_tpu.ops.hashtable import KmerTable
+
+        def make_store():
+            return KmerTable.create(args.k, capacity=args.capacity)
 
     k = args.k
     codes_all = make_reads_codes(
-        args.reads, args.read_len, args.genome_mbp, panel=args.panel
+        args.reads, args.read_len, args.genome_mbp, panel=args.panel,
+        error_rate=args.error_rate,
     )
     n_batches = -(-args.reads // args.batch)
     pad = n_batches * args.batch - args.reads
@@ -207,10 +174,13 @@ def run_sorted(args):
     from sharkmer_tpu.pcr.counts import FilteredTable
 
     def one_pass():
-        store = SortedKmerStore.create(k)
+        store = make_store()
         for codes in batches:
-            store.ingest_codes(codes)
-        store.flush()
+            # SortedKmerStore mutates and returns self; KmerTable is
+            # functional and returns the updated table — rebind for both
+            store = store.ingest_codes(codes)
+        if hasattr(store, "flush"):
+            store.flush()
         histo = store.histogram(10_000)
         return store, int(np.sum(histo))
 
@@ -239,12 +209,16 @@ def run_sorted(args):
     filtered._get_mirror()  # the one-time device->host table export
     mirror_export_s = time.perf_counter() - t0
 
+    # same dynamic node budget the CLI resolves (graph.rs:40-52)
+    from sharkmer_tpu.pcr.graph import compute_node_budget
+
+    max_nodes = compute_node_budget(args.reads * args.read_len)
     with tempfile.TemporaryDirectory() as outdir:
-        _stage("timed: sPCR panel")
+        _stage(f"timed: sPCR panel (node budget {max_nodes})")
         t0 = time.perf_counter()
         results = run_pcr(
             filtered, panel_params, "bench", outdir + "/",
-            max_nodes=100_000, threads=args.threads,
+            max_nodes=max_nodes, threads=args.threads,
         )
         spcr_wall = time.perf_counter() - t0
     genes_ok = sum(1 for r in results if r.status == "success")

@@ -1,4 +1,7 @@
-"""One-off: profile the sPCR phase of bench.py on the real chip."""
+"""One-off: profile the sPCR phase of bench.py on the real chip.
+
+Parameters come from bench.build_parser() so profiles always track the
+bench defaults (pass the same flags bench.py accepts)."""
 import cProfile
 import pstats
 import sys
@@ -10,20 +13,18 @@ import jax.numpy as jnp
 
 import bench as B
 
-args = type("A", (), dict(
-    reads=1_000_000, read_len=150, k=21, genome_mbp=20.0,
-    batch=1 << 18, capacity=1 << 26, backend="sorted",
-    panel="cnidaria", threads=1, quick=False,
-))()
+args = B.build_parser().parse_args()
+args.threads = 1  # profile single-threaded for readable output
 
 from sharkmer_tpu.ops.sorted_store import SortedKmerStore
 from sharkmer_tpu.pcr.counts import FilteredTable
+from sharkmer_tpu.pcr.graph import compute_node_budget
 from sharkmer_tpu.pcr.panels import get_panel
 from sharkmer_tpu.stats import run_pcr
 
 k = args.k
 codes_all = B.make_reads_codes(args.reads, args.read_len, args.genome_mbp,
-                               panel=args.panel)
+                               panel=args.panel, error_rate=args.error_rate)
 n_batches = -(-args.reads // args.batch)
 pad = n_batches * args.batch - args.reads
 if pad:
@@ -41,21 +42,17 @@ print(f"count: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
 t0 = time.perf_counter()
 filtered = FilteredTable(store, min_count=2)
-filtered._get_mirror()
-print(f"mirror export: {time.perf_counter()-t0:.2f}s "
-      f"({len(filtered._mirror[0])} rows)", file=sys.stderr)
-
-t0 = time.perf_counter()
-filtered._get_rc_order()
-print(f"rc order: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+filtered.warm_caches()
+print(f"mirror warm_caches: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
 panel_params = get_panel(args.panel)
+max_nodes = compute_node_budget(args.reads * args.read_len)
 prof = cProfile.Profile()
 with tempfile.TemporaryDirectory() as outdir:
     t0 = time.perf_counter()
     prof.enable()
     results = run_pcr(filtered, panel_params, "bench", outdir + "/",
-                      max_nodes=100_000, threads=1)
+                      max_nodes=max_nodes, threads=args.threads)
     prof.disable()
     print(f"sPCR (1 thread): {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 stats = pstats.Stats(prof, stream=sys.stderr)
