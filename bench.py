@@ -118,6 +118,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="gene-level sPCR thread pool")
     parser.add_argument("--error-rate", type=float, default=0.0,
                         help="per-base sequencing-error rate for the reads")
+    parser.add_argument("--mirror", choices=["auto", "full", "device"],
+                        default="auto",
+                        help="sPCR lookup strategy (auto = device "
+                             "reach-prefetch, full = host mirror export)")
     parser.add_argument("--quick", action="store_true",
                         help="small shapes for smoke testing")
     return parser
@@ -185,11 +189,11 @@ def run_bench(args):
         return store, int(np.sum(histo))
 
     # warmup: compiles every kernel shape the timed passes will hit —
-    # the count sequence AND the mirror-export (filter/encode) kernels
+    # the count sequence AND the sPCR-prep (index/export) kernels
     _stage("warmup: count pass (compiles)")
     warm_store, _ = one_pass()
-    _stage("warmup: mirror export (compiles)")
-    FilteredTable(warm_store, min_count=2)._get_mirror()
+    _stage(f"warmup: sPCR prep, mode={args.mirror} (compiles)")
+    FilteredTable(warm_store, min_count=2, mode=args.mirror).warm_caches()
     del warm_store
     _stage("timed: count pass")
     t0 = time.perf_counter()
@@ -203,10 +207,13 @@ def run_bench(args):
     from sharkmer_tpu.stats import run_pcr
 
     panel_params = get_panel(args.panel)
-    _stage("timed: mirror export")
+    _stage(f"timed: sPCR prep (mode={args.mirror})")
     t0 = time.perf_counter()
-    filtered = FilteredTable(store, min_count=2)
-    filtered._get_mirror()  # the one-time device->host table export
+    filtered = FilteredTable(store, min_count=2, mode=args.mirror)
+    # one-time device index build (auto) or full device->host export
+    # (full); reported as mirror_export_s for round-over-round
+    # comparability
+    filtered.warm_caches()
     mirror_export_s = time.perf_counter() - t0
 
     # same dynamic node budget the CLI resolves (graph.rs:40-52)

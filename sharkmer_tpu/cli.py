@@ -133,9 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["sorted", "hash"], default="sorted",
                    help="Count-table backend: sorted runs (TPU-fast) or "
                         "open-addressed hash table")
-    # hidden: serve sPCR lookups/scans from the device table instead of
-    # the host mirror (the default mirror wins on the tunneled link;
-    # this exercises/uses the pure-device path)
+    # hidden: sPCR lookup strategy. auto = device reach-prefetch on the
+    # sorted backend (table stays on device; only the walk's own
+    # neighbourhood crosses the link); full = one-time full host
+    # mirror; device = per-wave device lookups. --no-mirror is the
+    # legacy alias for --mirror device.
+    p.add_argument("--mirror", choices=["auto", "full", "device"],
+                   default="auto", help=argparse.SUPPRESS)
     p.add_argument("--no-mirror", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--save-table", metavar="PATH",
                    help="Checkpoint the consolidated count table to PATH "

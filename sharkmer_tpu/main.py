@@ -204,9 +204,11 @@ def _run_post_count(args, argv, start_run, engine, sample, directory, k,
         )
 
     # ---- sPCR --------------------------------------------------------------
+    mirror_mode = getattr(args, "mirror", "auto")
+    if getattr(args, "no_mirror", False):  # legacy alias
+        mirror_mode = "device"
     filtered = FilteredTable(
-        engine.table, args.min_kmer_count,
-        use_mirror=not getattr(args, "no_mirror", False),
+        engine.table, args.min_kmer_count, mode=mirror_mode,
     )
     pcr_results = run_pcr(
         filtered, pcr_runs, sample, directory,

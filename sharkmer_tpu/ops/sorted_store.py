@@ -992,9 +992,65 @@ class SortedKmerStore:
             return 0
         return max(int(jnp.max(p.counts)) for p in s.parts)
 
+    # -- sPCR device support (reach prefetch + primer range scans) -------------
+
+    def _spcr_index(self):
+        """Cached per-partition sidecars: bucket LUT (reach lookups)
+        and revcomp-sorted index (primer scans). Rebuilt whenever the
+        partition list changes (_Part objects are replaced, never
+        mutated, on every merge/split)."""
+        from . import reach as reach_mod
+
+        s = self._flushed()
+        cached = getattr(self, "_spcr_cache", None)
+        token = tuple(id(p) for p in s.parts)
+        if cached is not None and cached[0] == token:
+            return cached[1]
+        sidecars = [
+            reach_mod.build_sidecar(p.kmers, p.counts, s.k) for p in s.parts
+        ]
+        rc_indexes = [
+            reach_mod._rc_index_kernel(p.kmers, s.k) for p in s.parts
+        ]
+        bases = []
+        off = 0
+        for p in s.parts:
+            bases.append(off)
+            off += int(p.kmers.shape[0])
+        data = (sidecars, rc_indexes, tuple(bases))
+        self._spcr_cache = (token, data)
+        return data
+
+    def prepare_spcr(self) -> None:
+        """Build the sPCR device indexes up front (one-time cost,
+        otherwise paid lazily by the first scan/reach call)."""
+        if self._flushed().parts:
+            self._spcr_index()
+
+    def reach(self, roots, min_count: int, depth: int | None = None):
+        """Depth-capped de Bruijn closure of ``roots`` over this table
+        (ops/reach.py). Returns a ReachResult or None on overflow."""
+        from . import reach as reach_mod
+
+        s = self._flushed()
+        if not s.parts:
+            return reach_mod.ReachResult(
+                np.zeros(0, np.uint64), np.zeros(0, np.uint32), True, 0
+            )
+        sidecars, _rc, bases = self._spcr_index()
+        return reach_mod.reach(
+            sidecars, bases, roots, min_count, s.k,
+            depth=depth or reach_mod.DEPTH,
+        )
+
     def prefix_scan(self, oligos, oligo_len: int, min_count: int,
-                    max_out: int = 1 << 16):
-        from .encoding import revcomp_kmer as _rc
+                    max_out: int = 1 << 12):
+        """Primer-oligo scan via sorted range queries against the
+        partition keys (forward) and the revcomp-sorted sidecar
+        (reverse strand) — ops/reach.py range_scan_part. Same
+        observable semantics as the hashtable backend's full sweep
+        (its kernel remains the differential oracle in tests)."""
+        from .reach import range_scan_part
 
         if oligo_len <= 0 or oligo_len >= self.k:
             raise ValueError(
@@ -1002,32 +1058,20 @@ class SortedKmerStore:
             )
         s = self._flushed()
         oligos = np.asarray(oligos, dtype=np.uint64)
-        rc = np.array(
-            sorted({_rc(int(o), oligo_len) for o in oligos}), dtype=np.uint64
-        )
-        fwd = np.sort(oligos)
         all_k, all_c = [np.zeros(0, np.uint64)], [np.zeros(0, np.uint32)]
-        for p in s.parts:
-            rc_table = _revcomp_kernel(p.kmers, s.k)
-            # degenerate (low-complexity) oligos can match more table
-            # entries than the output width: grow and retry rather than
-            # fail the gene (recompiles once per doubled width — rare)
-            cur_max = max_out
-            while True:
-                kmers, counts, nm = _prefix_scan_sorted_kernel(
-                    p.kmers, p.counts, rc_table, jnp.asarray(fwd),
-                    jnp.asarray(rc), 2 * (s.k - oligo_len), 2 * oligo_len,
-                    cur_max, jnp.uint32(min_count),
+        if s.parts:
+            _sidecars, rc_indexes, _bases = self._spcr_index()
+            for p, (rc_sorted, rc_order) in zip(s.parts, rc_indexes):
+                kk, cc = range_scan_part(
+                    p.kmers, p.counts, rc_sorted, rc_order, p.n,
+                    oligos, oligo_len, s.k, max_out=max_out,
                 )
-                nm = int(nm)
-                if nm <= cur_max:
-                    break
-                cur_max = _next_pow2_count(nm)
-            # full-width transfer + host slice: device slices of
-            # data-dependent width would compile per distinct nm
-            all_k.append(np.asarray(kmers)[:nm])
-            all_c.append(np.asarray(counts)[:nm])
-        return np.concatenate(all_k), np.concatenate(all_c)
+                all_k.append(kk)
+                all_c.append(cc)
+        kmers = np.concatenate(all_k)
+        counts = np.concatenate(all_c)
+        keep = counts >= np.uint32(max(min_count, 1))
+        return kmers[keep], counts[keep]
 
     # -- host export -----------------------------------------------------------
 

@@ -5,6 +5,24 @@
 entries). ``FilteredTable`` is the lazy min-count view over the device
 table (``FilteredKmerCounts``, counting.rs:316-350): lookups apply the
 global --min-kmer-count threshold on the fly, no data is copied.
+
+Lookup strategies (``mode``):
+
+* ``auto`` (default): when the backend supports device reachability
+  closures (SortedKmerStore.reach), graph-extension waves are served
+  by per-walk PrefetchSession caches (pcr/prefetch.py) — the table
+  never leaves the device and only the walk's own neighbourhood
+  crosses the link. Otherwise degrades to ``full`` for small tables
+  and ``device`` beyond MIRROR_MAX_UNIQUE.
+* ``full``: one-time full-table device->host export (sorted mirror);
+  waves served by host searchsorted. Pays the export wall (the
+  deployment link moves ~13 MB/s) but makes every later lookup free.
+* ``device``: no host state; every wave is a synchronous device
+  lookup. Exact at any table size, dominated by round-trip latency.
+
+Primer scans go to the device in every mode (``table.prefix_scan`` —
+range queries on the sorted backend, a full sweep on the hash
+backend); their outputs are tiny.
 """
 
 from __future__ import annotations
@@ -60,30 +78,23 @@ class SmallCounts:
         return counts[mid]
 
 
-# Above this many unique k-mers the host mirror is skipped (memory)
-# and lookups stay on the device.
+# Above this many unique k-mers the full host mirror is not built
+# (memory); auto mode then degrades to device lookups when the backend
+# has no reach support.
 MIRROR_MAX_UNIQUE = 256_000_000
 
 
 @dataclass
 class FilteredTable:
-    """Read-only min-count view of a device count backend.
-
-    sPCR graph extension issues one small lookup batch per BFS wave;
-    on a remote accelerator each device call costs milliseconds of
-    dispatch latency. Since every backend can export its contents as
-    sorted (kmers, counts) arrays, the view keeps a host numpy mirror
-    and serves wave lookups with np.searchsorted — microseconds per
-    wave — falling back to device lookups only when the store is too
-    large to mirror.
-    """
+    """Read-only min-count view of a device count backend."""
 
     table: KmerTable
     min_count: int
-    use_mirror: bool = True
+    mode: str = "auto"  # auto | full | device
+    prefetch_depth: int = 512
     _mirror: tuple[np.ndarray, np.ndarray] | None = None
     # one gene pool shares this view: without the lock every worker
-    # would race to build the same multi-second mirror / rc-order cache
+    # would race to build the same multi-second mirror
     _lock: threading.Lock = field(
         default_factory=threading.Lock, repr=False, compare=False
     )
@@ -92,53 +103,80 @@ class FilteredTable:
     def k(self) -> int:
         return self.table.k
 
+    _mode_cache: str | None = field(default=None, repr=False)
+
+    def _resolved_mode(self) -> str:
+        if self._mode_cache is not None:
+            return self._mode_cache
+        if self.mode == "device":
+            resolved = "device"
+        elif self.mode == "auto" and hasattr(self.table, "reach"):
+            resolved = "prefetch"
+        elif self._mirror is not None:
+            resolved = "full"
+        else:
+            # full requested, or auto on a backend without reach support
+            try:
+                small = self.table.n_unique() <= MIRROR_MAX_UNIQUE
+            except Exception:
+                small = False
+            resolved = "full" if small else "device"
+        self._mode_cache = resolved
+        return resolved
+
+    def extension_session(self, threshold: int):
+        """Per-walk lookup provider for extend_graph: a PrefetchSession
+        in prefetch mode, the view itself otherwise."""
+        if self._resolved_mode() == "prefetch":
+            from .prefetch import PrefetchSession
+
+            return PrefetchSession(self, threshold, depth=self.prefetch_depth)
+        return self
+
+    def warm_caches(self) -> None:
+        """One-time builds shared by the gene pool: the device sPCR
+        indexes (prefetch mode) or the host mirror (full mode)."""
+        mode = self._resolved_mode()
+        if mode == "prefetch":
+            self.table.prepare_spcr()
+        elif mode == "full":
+            self._get_mirror()
+
+    def mirror_rows(self) -> int:
+        """Occupied row count of the host mirror (0 if not built)."""
+        return len(self._mirror[0]) if self._mirror is not None else 0
+
     def _get_mirror(self):
-        """Build (sorted kmers, counts) restricted to rows >= the
-        view's min_count: sub-threshold rows are invisible through a
+        """(sorted kmers, counts) restricted to rows >= the view's
+        min_count: sub-threshold rows are invisible through a
         FilteredTable anyway, and dropping them on device shrinks the
         export payload before it crosses the slow link."""
         if self._mirror is not None:  # hot path: one read per BFS wave
             return self._mirror
         with self._lock:
             if self._mirror is None:
-                pairs = self.table.to_dict() if not hasattr(
-                    self.table, "to_sorted_arrays"
-                ) else None
-                if pairs is not None:  # generic fallback
-                    kmers = np.fromiter(pairs.keys(), dtype=np.uint64, count=len(pairs))
-                    counts = np.fromiter(pairs.values(), dtype=np.uint32, count=len(pairs))
+                if hasattr(self.table, "to_sorted_arrays"):
+                    self._mirror = self.table.to_sorted_arrays(
+                        min_count=self.min_count
+                    )
+                else:  # generic fallback
+                    pairs = self.table.to_dict()
+                    kmers = np.fromiter(
+                        pairs.keys(), dtype=np.uint64, count=len(pairs)
+                    )
+                    counts = np.fromiter(
+                        pairs.values(), dtype=np.uint32, count=len(pairs)
+                    )
                     keep = counts >= np.uint32(max(self.min_count, 1))
                     kmers, counts = kmers[keep], counts[keep]
                     order = np.argsort(kmers)
                     self._mirror = (kmers[order], counts[order])
-                else:
-                    self._mirror = self.table.to_sorted_arrays(
-                        min_count=self.min_count
-                    )
         return self._mirror
-
-    def warm_caches(self) -> None:
-        """Build the mirror and the rc-range index once, up front —
-        called before the gene thread pool starts so workers never
-        duplicate the build."""
-        if self._mirror_available():
-            self._get_mirror()
-            self._get_rc_order()
-
-    def _mirror_available(self) -> bool:
-        if not self.use_mirror:
-            return False
-        if self._mirror is not None:
-            return True
-        try:
-            return self.table.n_unique() <= MIRROR_MAX_UNIQUE
-        except Exception:
-            return False
 
     def get_canonical_many(self, kmers: np.ndarray) -> np.ndarray:
         """Counts for directional k-mers; entries below the global
         threshold report 0 (i.e. absent)."""
-        if self._mirror_available():
+        if self._resolved_mode() == "full":
             from ..ops.encoding import revcomp_kmers_np
 
             q = np.asarray(kmers, dtype=np.uint64).reshape(-1)
@@ -156,87 +194,14 @@ class FilteredTable:
         counts[counts < self.min_count] = 0
         return counts
 
-    # -- primer scans ---------------------------------------------------------
-
-    def _get_rc_order(self):
-        """Mirror rows ordered by revcomp(kmer): turns reverse-strand
-        prefix matches into contiguous range queries too.
-
-        The argsort of a ~20M-row mirror is the single biggest host cost
-        of the sPCR phase (~4.7 s single-threaded numpy), so use torch's
-        multithreaded sort when available. A k-mer is < 2^62, so the
-        int64 view preserves order (sign bit never set)."""
-        mk, _ = self._get_mirror()  # outside the lock (takes it itself)
-        with self._lock:
-            if getattr(self, "_rc_cache", None) is None:
-                from ..ops.encoding import revcomp_kmers_np
-
-                rc = revcomp_kmers_np(mk, self.k)
-                try:
-                    import torch
-
-                    vals, idx = torch.sort(
-                        torch.from_numpy(rc.view(np.int64))
-                    )
-                    self._rc_cache = (
-                        vals.numpy().view(np.uint64),
-                        idx.numpy(),
-                    )
-                except ImportError:  # pragma: no cover
-                    order = np.argsort(rc)
-                    self._rc_cache = (rc[order], order)
-        return self._rc_cache
-
     def find_primer_matches(self, oligos: np.ndarray, oligo_len: int,
                             min_count: int):
         """All table k-mers starting with an oligo on either strand
         (find_oligos_in_kmers semantics: forward precedence, RC hits
-        revcomp-normalized). Served from the host mirror as sorted
-        range queries when available; device sweep otherwise. A scan
-        below the view's own threshold (possible with per-primer
-        min_count overrides) can't be answered by the filtered mirror,
-        so it goes to the device table too."""
-        if not self._mirror_available() or min_count < self.min_count:
-            return self.table.prefix_scan(oligos, oligo_len, min_count)
-
-        from ..ops.encoding import revcomp_kmers_np
-
-        mk, mc = self._get_mirror()
-        if len(mk) == 0:
-            return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
-        oligos = np.asarray(oligos, dtype=np.uint64)
-        shift = np.uint64(2 * (self.k - oligo_len))
-
-        # forward: kmers in [oligo << shift, (oligo+1) << shift)
-        lo = oligos << shift
-        hi = (oligos + np.uint64(1)) << shift
-        starts = np.searchsorted(mk, lo)
-        ends = np.searchsorted(mk, hi)
-        fwd_rows = np.concatenate(
-            [np.arange(s, e) for s, e in zip(starts, ends)]
-        ) if len(oligos) else np.zeros(0, np.int64)
-        fwd_rows = np.unique(fwd_rows)
-
-        # reverse strand: revcomp(kmer) starts with the oligo
-        rc_sorted, rc_order = self._get_rc_order()
-        starts = np.searchsorted(rc_sorted, lo)
-        ends = np.searchsorted(rc_sorted, hi)
-        rc_pos = np.concatenate(
-            [np.arange(s, e) for s, e in zip(starts, ends)]
-        ) if len(oligos) else np.zeros(0, np.int64)
-        rc_rows = np.unique(rc_order[rc_pos.astype(np.int64)])
-        # forward precedence: a dual-orientation hit reports forward form
-        rc_rows = np.setdiff1d(rc_rows, fwd_rows, assume_unique=True)
-
-        rows = np.concatenate([fwd_rows, rc_rows]).astype(np.int64)
-        out_kmers = np.concatenate([
-            mk[fwd_rows],
-            revcomp_kmers_np(mk[rc_rows], self.k) if len(rc_rows) else
-            np.zeros(0, np.uint64),
-        ])
-        out_counts = mc[rows]
-        keep = out_counts >= min_count
-        return out_kmers[keep], out_counts[keep]
+        revcomp-normalized). Always served on device — range queries
+        on the sorted backend, a sweep on the hash backend; outputs
+        are tiny either way."""
+        return self.table.prefix_scan(oligos, oligo_len, min_count)
 
     def get_canonical(self, kmer: int) -> int | None:
         c = int(self.get_canonical_many(np.array([kmer], np.uint64))[0])

@@ -272,6 +272,15 @@ def extend_graph(
     prefix_shift = 2 * (k - 1)
     found_path = False
 
+    # per-walk lookup provider: a device-prefetch cache session when
+    # the backend supports reachability closures, the plain view
+    # otherwise (semantics identical either way — the session only
+    # caches, see pcr/prefetch.py)
+    lookup = (
+        counts.extension_session(min_count)
+        if hasattr(counts, "extension_session") else counts
+    )
+
     last_check = 0
     # live edge-count list: extension only ever ADDS edges, so appending
     # at each add_edge keeps this exact while avoiding the O(E) rebuild
@@ -318,7 +327,7 @@ def extend_graph(
         fwd_cand = (subs[:, None] << np.uint64(2)) | bases_u64[None, :]
         rev_cand = (bases_u64[None, :] << np.uint64(prefix_shift)) | subs[:, None]
         cand = np.where(dirs[:, None] == FWD, fwd_cand, rev_cand)
-        cand_counts = counts.get_canonical_many(cand.reshape(-1)).reshape(-1, 4)
+        cand_counts = lookup.get_canonical_many(cand.reshape(-1)).reshape(-1, 4)
         cand_list = cand.tolist()
         counts_list = cand_counts.tolist()
 

@@ -1,0 +1,98 @@
+"""Host-side prefetch session: the cache layer between the exact host
+graph extension and the device reach kernel.
+
+One session serves one (gene, threshold-step) extension walk
+(pcr/graph.py extend_graph). Waves query through
+``get_canonical_many``; the session answers from a local numpy cache
+filled by depth-capped device closures (ops/reach.py):
+
+* cache hit -> exact table count (zeroed below the step threshold,
+  which is exactly how the host treats it: extend_graph skips any
+  candidate whose count is below the step's min_count);
+* cache miss within the covered horizon -> provably below threshold
+  (the closure is a superset of every candidate the walk can enumerate
+  within ``depth`` waves of the prefetch roots) -> 0;
+* horizon exhausted -> re-prefetch rooted at the current wave's
+  candidates;
+* closure ran to quiescence -> misses trusted for the rest of the walk
+  (the common case: one device call per gene x step).
+
+If the device closure overflows its retry ladder (pathological
+connectivity, e.g. a high-copy repeat family at a permissive
+threshold), the session degrades to exact per-wave device lookups —
+slow but correct.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..ops.encoding import revcomp_kmers_np
+
+log = logging.getLogger("sharkmer")
+
+
+class PrefetchSession:
+    """Lookup provider for one extension walk at one threshold."""
+
+    def __init__(self, view, threshold: int, depth: int = 512):
+        self.view = view
+        self.k = view.k
+        # the host skips candidates below both the step threshold and
+        # the view's global floor, so the closure may prune at the max
+        self.threshold = max(int(threshold), int(view.min_count), 1)
+        self.depth = depth
+        self._keys = np.zeros(0, np.uint64)
+        self._counts = np.zeros(0, np.uint32)
+        self._waves_left = 0
+        self._complete = False  # closure quiesced: misses final
+        self._dead = False  # device overflowed: per-wave fallback
+        self.n_prefetches = 0
+        self.device_iters = 0
+
+    def get_canonical_many(self, kmers: np.ndarray) -> np.ndarray:
+        q = np.asarray(kmers, dtype=np.uint64).reshape(-1)
+        canon = np.minimum(q, revcomp_kmers_np(q, self.k))
+        if self._dead:
+            return self._device_exact(canon)
+        if not self._complete and self._waves_left <= 0:
+            self._prefetch(canon)
+            if self._dead:
+                return self._device_exact(canon)
+        self._waves_left -= 1
+        idx = np.searchsorted(self._keys, canon)
+        idx = np.minimum(idx, max(len(self._keys) - 1, 0))
+        if len(self._keys):
+            hit = self._keys[idx] == canon
+            return np.where(hit, self._counts[idx], 0).astype(np.uint32)
+        return np.zeros(len(canon), np.uint32)
+
+    def _device_exact(self, canon: np.ndarray) -> np.ndarray:
+        counts = np.asarray(self.view.table.lookup_directional(canon))
+        counts[counts < self.threshold] = 0
+        return counts
+
+    def _prefetch(self, roots: np.ndarray) -> None:
+        res = self.view.table.reach(roots, self.threshold, self.depth)
+        if res is None:
+            log.debug(
+                "prefetch overflow at threshold %d: falling back to "
+                "per-wave device lookups", self.threshold,
+            )
+            self._dead = True
+            return
+        self.n_prefetches += 1
+        self.device_iters += res.iters
+        if len(self._keys):
+            keys = np.concatenate([self._keys, res.keys])
+            counts = np.concatenate([self._counts, res.counts])
+            order = np.argsort(keys)
+            keys, counts = keys[order], counts[order]
+            keep = np.concatenate([[True], keys[1:] != keys[:-1]])
+            self._keys, self._counts = keys[keep], counts[keep]
+        else:
+            self._keys, self._counts = res.keys, res.counts
+        self._complete = res.complete
+        self._waves_left = self.depth

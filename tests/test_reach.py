@@ -1,0 +1,264 @@
+"""Tests for the device reachability prefetch (ops/reach.py) and the
+prefetch session (pcr/prefetch.py).
+
+Oracle: a python BFS over a dict model of the count table, expanding
+every hit k-mer to its 8 de Bruijn neighbours — the same closure the
+kernel computes. The session is differentially tested by running the
+full sPCR pipeline in every lookup mode and asserting identical
+products.
+"""
+
+import numpy as np
+import pytest
+
+from util import random_genome, reads_from_genome
+
+from sharkmer_tpu.ops import ascii_to_codes, codes_to_batch
+from sharkmer_tpu.ops.encoding import revcomp_kmer, seq_to_kmer
+from sharkmer_tpu.ops.sorted_store import SortedKmerStore
+from sharkmer_tpu.pcr.counts import FilteredTable
+
+
+def build_store(genome: str, k: int, n_reads: int = 600,
+                read_len: int = 80, seed: int = 1):
+    reads = reads_from_genome(genome, n_reads, read_len, seed=seed)
+    store = SortedKmerStore.create(k)
+    store.ingest_codes(codes_to_batch([ascii_to_codes(r) for r in reads]))
+    return store
+
+
+def closure_oracle(model: dict[int, int], roots, min_count: int, k: int,
+                   depth: int | None = None):
+    """Python BFS: process roots (depth 0), expand hits 8 ways."""
+    kmask = (1 << (2 * k)) - 1
+
+    def canon(c):
+        return min(c, revcomp_kmer(c, k))
+
+    def hits(cands):
+        out = set()
+        for c in cands:
+            cc = canon(c)
+            if model.get(cc, 0) >= min_count:
+                out.add(cc)
+        return out
+
+    visited = hits(roots)
+    frontier = set(visited)
+    level = 0
+    while frontier and (depth is None or level < depth):
+        cands = set()
+        for f in frontier:
+            for b in range(4):
+                cands.add(((f << 2) | b) & kmask)
+                cands.add((b << (2 * (k - 1))) | (f >> 2))
+        frontier = hits(cands) - visited
+        visited |= frontier
+        level += 1
+    return visited, not frontier
+
+
+def test_reach_equals_oracle_full_closure():
+    k = 11
+    genome = random_genome(900, seed=3)
+    store = build_store(genome, k)
+    model = store.to_dict()
+
+    pos = 200
+    root_kmer = seq_to_kmer(genome[pos : pos + k])
+    roots = np.array([root_kmer], np.uint64)
+
+    for mc in (1, 2, 3):
+        res = store.reach(roots, min_count=mc, depth=4096)
+        oracle, complete = closure_oracle(model, [int(root_kmer)], mc, k)
+        assert res is not None
+        assert res.complete == complete
+        got = dict(zip(res.keys.tolist(), res.counts.tolist()))
+        want = {km: model[km] for km in oracle}
+        assert got == want, f"mc={mc}: {len(got)} vs {len(want)} rows"
+
+
+def test_reach_depth_cap_superset_guarantee():
+    """A depth-capped closure must cover at least the oracle's
+    depth-limited closure (the property the session's trusted-miss
+    window relies on)."""
+    k = 11
+    genome = random_genome(3000, seed=4)
+    store = build_store(genome, k, n_reads=1500)
+    model = store.to_dict()
+    root = seq_to_kmer(genome[1500 : 1500 + k])
+    depth = 24
+
+    res = store.reach(np.array([root], np.uint64), min_count=1, depth=depth)
+    assert res is not None
+    oracle_d, _ = closure_oracle(model, [int(root)], 1, k, depth=depth)
+    got = set(res.keys.tolist())
+    missing = oracle_d - got
+    assert not missing, f"{len(missing)} rows missing from depth-{depth} closure"
+    # and no rows outside the slightly deeper closure (sanity: the
+    # kernel walks BFS levels, give transient walkers 2 levels slack)
+    oracle_d2, _ = closure_oracle(model, [int(root)], 1, k, depth=depth + 2)
+    assert got <= oracle_d2
+
+
+def test_reach_multiple_roots_and_empty():
+    k = 9
+    genome = random_genome(400, seed=5)
+    store = build_store(genome, k, n_reads=300, read_len=60)
+    model = store.to_dict()
+    roots = np.array(
+        [seq_to_kmer(genome[i : i + k]) for i in (10, 100, 250)], np.uint64
+    )
+    res = store.reach(roots, min_count=1, depth=4096)
+    oracle, complete = closure_oracle(
+        model, [int(r) for r in roots], 1, k
+    )
+    assert res.complete == complete
+    assert set(res.keys.tolist()) == oracle
+
+    # roots that are all absent from the table
+    res2 = store.reach(
+        np.array([0xFFFF], np.uint64), min_count=1 << 20, depth=16
+    )
+    assert res2 is not None and res2.complete and len(res2.keys) == 0
+
+    # empty root set
+    res3 = store.reach(np.zeros(0, np.uint64), min_count=1, depth=16)
+    assert res3.complete and len(res3.keys) == 0
+
+
+def test_reach_multi_partition():
+    """Closures must span partition boundaries (tiny max_agg forces
+    several partitions)."""
+    k = 11
+    genome = random_genome(800, seed=6)
+    import os
+
+    store = SortedKmerStore.create(k)
+    store.max_agg = 1 << 9  # tiny partitions
+    reads = reads_from_genome(genome, 500, 70, seed=7)
+    store.ingest_codes(codes_to_batch([ascii_to_codes(r) for r in reads]))
+    assert len(store._flushed().parts) > 1
+    model = store.to_dict()
+    root = seq_to_kmer(genome[300 : 300 + k])
+    res = store.reach(np.array([root], np.uint64), min_count=1, depth=4096)
+    oracle, complete = closure_oracle(model, [int(root)], 1, k)
+    assert res.complete == complete
+    assert set(res.keys.tolist()) == oracle
+
+
+def test_reach_bubble_and_cycle_convergence():
+    """Bubbles (SNP between repeated segments) and short cycles
+    (tandem repeat) must converge, not loop forever."""
+    k = 9
+    seg = random_genome(120, seed=8)
+    # bubble: two variants of the middle base; cycle: tandem repeat
+    variant = seg[:60] + ("A" if seg[60] != "A" else "C") + seg[61:]
+    cyc = random_genome(40, seed=9)
+    genome = seg + variant + (cyc * 6) + seg
+    store = build_store(genome, k, n_reads=900, read_len=60, seed=10)
+    model = store.to_dict()
+    root = seq_to_kmer(genome[5 : 5 + k])
+    res = store.reach(np.array([root], np.uint64), min_count=1, depth=8192)
+    assert res is not None
+    oracle, complete = closure_oracle(model, [int(root)], 1, k)
+    assert res.complete == complete
+    assert set(res.keys.tolist()) == oracle
+
+
+def test_session_matches_direct_lookups():
+    """PrefetchSession.get_canonical_many must agree with the view's
+    exact lookups for every count >= the session threshold, and report
+    0 below it."""
+    from sharkmer_tpu.pcr.prefetch import PrefetchSession
+
+    k = 11
+    genome = random_genome(1200, seed=11)
+    store = build_store(genome, k, n_reads=900)
+    view = FilteredTable(store, min_count=2, mode="auto")
+    exact = FilteredTable(store, min_count=2, mode="device")
+
+    for threshold in (2, 3):
+        session = PrefetchSession(view, threshold, depth=16)
+        # simulate a walk: waves of neighbours starting from a genome kmer
+        cur = [seq_to_kmer(genome[600 : 600 + k])]
+        kmask = (1 << (2 * k)) - 1
+        for _ in range(40):
+            cands = []
+            for f in cur:
+                for b in range(4):
+                    cands.append(((f << 2) | b) & kmask)
+                    cands.append((b << (2 * (k - 1))) | (f >> 2))
+            cands = np.array(cands, np.uint64)
+            got = session.get_canonical_many(cands)
+            want = exact.get_canonical_many(cands)
+            want[want < threshold] = 0
+            np.testing.assert_array_equal(got, want)
+            nxt = [int(c) for c, g in zip(cands.tolist(), got.tolist()) if g]
+            if not nxt:
+                break
+            cur = nxt[:8]
+
+
+def test_session_fallback_on_overflow(monkeypatch):
+    """If the device closure overflows, the session must degrade to
+    exact per-wave device lookups."""
+    from sharkmer_tpu.pcr.prefetch import PrefetchSession
+
+    k = 11
+    genome = random_genome(600, seed=12)
+    store = build_store(genome, k, n_reads=400)
+    view = FilteredTable(store, min_count=1, mode="auto")
+    monkeypatch.setattr(
+        type(store), "reach", lambda self, r, m, d=None: None
+    )
+    session = PrefetchSession(view, 1, depth=8)
+    q = np.array([seq_to_kmer(genome[50 : 50 + k])], np.uint64)
+    got = session.get_canonical_many(q)
+    exact = FilteredTable(store, min_count=1, mode="device")
+    np.testing.assert_array_equal(got, exact.get_canonical_many(q))
+    assert session._dead
+
+
+def test_do_pcr_identical_across_modes():
+    """Full sPCR must produce byte-identical products in prefetch,
+    full-mirror, and device modes — on noisy reads with bubbles."""
+    from sharkmer_tpu.pcr.params import PCRParams
+    from sharkmer_tpu.pcr.spcr import do_pcr
+
+    rng = np.random.default_rng(13)
+    bases = np.array(list("ACGT"))
+    fwd = "".join(rng.choice(bases, size=20))
+    rev = "".join(rng.choice(bases, size=20))
+    comp = str.maketrans("ACGT", "TGCA")
+    amplicon = fwd + "".join(rng.choice(bases, size=260)) + (
+        rev.translate(comp)[::-1]
+    )
+    genome = (
+        random_genome(400, seed=14) + amplicon + random_genome(400, seed=15)
+    )
+    # reads with 1% substitution errors
+    reads = []
+    for i in range(1400):
+        p = int(rng.integers(0, len(genome) - 70))
+        r = list(genome[p : p + 70])
+        for j in range(len(r)):
+            if rng.random() < 0.01:
+                r[j] = str(rng.choice(bases))
+        reads.append("".join(r))
+
+    k = 17
+    store = SortedKmerStore.create(k)
+    store.ingest_codes(codes_to_batch([ascii_to_codes(r) for r in reads]))
+
+    params = PCRParams(
+        forward_seq=fwd, reverse_seq=rev, gene_name="modes",
+        min_length=200, max_length=400, min_count=2,
+    )
+    results = {}
+    for mode in ("auto", "full", "device"):
+        ft = FilteredTable(store, min_count=2, mode=mode)
+        outcome = do_pcr(ft, "s", params, max_num_nodes=20_000)
+        results[mode] = [(r.rec_id, r.seq) for r in outcome.records]
+    assert results["auto"] == results["full"] == results["device"]
+    assert results["auto"], "no products recovered"

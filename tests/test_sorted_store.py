@@ -160,20 +160,20 @@ def test_engine_sharded_sorted_backend():
     assert e8.table.to_dict() == e1.table.to_dict()
 
 
-def test_mirror_primer_matches_equal_device_scan():
-    """FilteredTable.find_primer_matches (host mirror range queries)
-    must equal the device prefix_scan on both orientations."""
-    from sharkmer_tpu.pcr.counts import FilteredTable
+def test_range_scan_matches_sweep_oracle():
+    """The sorted store's range-query prefix_scan (ops/reach.py) must
+    equal the hash backend's full-sweep scan on both orientations,
+    across oligo lengths, including misses."""
     from sharkmer_tpu.ops.encoding import seq_to_kmer
 
     genome = random_genome(3000, seed=51)
     reads = reads_from_genome(genome, 900, 90, seed=52)
     k = 15
     store = SortedKmerStore.create(k)
-    store.ingest_codes(codes_to_batch([ascii_to_codes(r) for r in reads]))
-
-    ft_mirror = FilteredTable(store, 1, use_mirror=True)
-    ft_device = FilteredTable(store, 1, use_mirror=False)
+    table = KmerTable.create(k, capacity=1 << 13)
+    codes = codes_to_batch([ascii_to_codes(r) for r in reads])
+    store.ingest_codes(codes)
+    table = table.ingest_codes(codes)
 
     rng = np.random.default_rng(6)
     for olen in (5, 9, 14):
@@ -185,22 +185,23 @@ def test_mirror_primer_matches_equal_device_scan():
         oligos += [int(x) for x in rng.integers(0, 1 << (2 * olen), size=10)]
         oligos = np.array(sorted(set(oligos)), np.uint64)
 
-        k1, c1 = store.prefix_scan(oligos, olen, min_count=1)
-        k2, c2 = ft_mirror.find_primer_matches(oligos, olen, min_count=1)
-        assert sorted(zip(k1.tolist(), c1.tolist())) == sorted(
-            zip(k2.tolist(), c2.tolist())
-        ), f"olen={olen}"
+        for mc in (1, 2):
+            k1, c1 = table.prefix_scan(oligos, olen, min_count=mc)
+            k2, c2 = store.prefix_scan(oligos, olen, min_count=mc)
+            assert sorted(zip(k1.tolist(), c1.tolist())) == sorted(
+                zip(k2.tolist(), c2.tolist())
+            ), f"olen={olen} mc={mc}"
 
 
-def test_mirror_lookup_matches_device():
+def test_full_mirror_lookup_matches_device():
     from sharkmer_tpu.pcr.counts import FilteredTable
 
     genome = random_genome(2000, seed=61)
     reads = reads_from_genome(genome, 600, 80, seed=62)
     store = SortedKmerStore.create(17)
     store.ingest_codes(codes_to_batch([ascii_to_codes(r) for r in reads]))
-    ftm = FilteredTable(store, 2, use_mirror=True)
-    ftd = FilteredTable(store, 2, use_mirror=False)
+    ftm = FilteredTable(store, 2, mode="full")
+    ftd = FilteredTable(store, 2, mode="device")
     rng = np.random.default_rng(7)
     queries = np.concatenate([
         np.array(list(store.to_dict())[:300], np.uint64),
@@ -209,6 +210,8 @@ def test_mirror_lookup_matches_device():
     np.testing.assert_array_equal(
         ftm.get_canonical_many(queries), ftd.get_canonical_many(queries)
     )
+    ftm.warm_caches()
+    assert ftm.mirror_rows() > 0
 
 
 def test_partition_splitting_differential():
@@ -358,10 +361,10 @@ def test_filtered_export_matches_host_filter():
     assert len(got_k) == 0 and len(got_c) == 0
 
 
-def test_scan_below_view_threshold_uses_device_path():
+def test_scan_below_view_threshold_sees_subthreshold_rows():
     """find_primer_matches with a min_count below the view's own
-    threshold must still see sub-threshold rows (the filtered mirror
-    can't answer it; the device table can)."""
+    threshold must still see sub-threshold rows (scans always go to
+    the unfiltered device table, whatever the view's mode)."""
     from sharkmer_tpu.pcr.counts import FilteredTable
 
     k = 9
@@ -373,10 +376,10 @@ def test_scan_below_view_threshold_uses_device_path():
         np.array([base | 1, base | 2], np.uint64),
         np.array([1, 5], np.uint32),
     )
-    ft = FilteredTable(store, min_count=3, use_mirror=True)
-    ft.warm_caches()
-    assert len(ft._get_mirror()[0]) == 1  # mirror holds only count>=3
-    got_k, got_c = ft.find_primer_matches(
-        np.array([oligo], np.uint64), olen, min_count=1
-    )
-    assert sorted(got_c.tolist()) == [1, 5]
+    for mode in ("auto", "full", "device"):
+        ft = FilteredTable(store, min_count=3, mode=mode)
+        ft.warm_caches()
+        got_k, got_c = ft.find_primer_matches(
+            np.array([oligo], np.uint64), olen, min_count=1
+        )
+        assert sorted(got_c.tolist()) == [1, 5], mode
