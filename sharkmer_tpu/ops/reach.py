@@ -41,12 +41,16 @@ scatter, ~0.3 s). A probe is then 2 LUT gathers + two *contiguous*
 candidate, with a masked widen-loop for the rare overfull bucket
 (low-complexity repeat families).
 
-Visited-set membership inside the loop is a ``searchsorted`` against a
-periodically re-merged sorted id array — no scatters. Transient
-duplicate walkers (a node re-entered between merges) collapse at the
-next merge; equal-depth duplicates collapse in the per-iteration
-unique pass, so a bubble costs at most one extra walker for one merge
-window.
+Visited-set membership inside the loop is a **bitmap over global row
+ids** (one u32 word per 32 table rows): the test is one scattered
+gather + bit mask, and insertion is one tiny scatter-add of
+freshly-deduplicated bits — both measured at noise level inside a
+``while_loop`` on the target chip, vs ~600 us/iteration for a
+``searchsorted`` into a 2^18 sorted set (the v1 design, which made a
+512-level closure cost ~0.4 s and a full 7-gene panel ~70 s). Each
+new row is also appended to a flat id log, so the loop needs no
+re-merged visited array at all; the log's valid entries are gathered
+once after the loop.
 
 ``rc_index``/``range_scan_part`` serve the primer scans
 (find_oligos_in_kmers, primers.rs:163-226): a forward prefix match is
@@ -59,11 +63,15 @@ a tiny range-enumeration call instead of a full-table sweep.
 from __future__ import annotations
 
 import functools
+import logging
+import time
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("sharkmer")
 
 from .encoding import KMER_SENTINEL
 from .hashtable import _revcomp_kernel
@@ -71,11 +79,16 @@ from .hashtable import _revcomp_kernel
 EMPTY = np.uint64(KMER_SENTINEL)
 _INF32 = np.int32(0x7FFF_FFFF)
 
-# Reach-loop shape defaults (all grow-and-retry on overflow).
-F_CAP = 64          # live walkers per iteration (typical walks carry < 30)
-V_CAP = 1 << 15     # visited rows per call
-DEPTH = 512         # waves of host walk covered per prefetch
-MERGE_EVERY = 32    # visited re-merge cadence (iterations)
+# Reach-loop shape defaults. f_cap is quantized to {256, 1024, 4096}
+# (grow-and-retry on overflow): every distinct (f_cap, depth, n_words,
+# partition-shape) tuple is a separate XLA compile, and on the
+# deployment target one compile of this kernel costs tens of seconds —
+# far more than the widest standard shape ever costs at runtime.
+F_CAP = 256         # live walkers per iteration (typical walks carry < 30)
+F_GROW = 4          # retry multiplier (stays on the quantized ladder)
+DEPTH = 2048        # waves of host walk covered per prefetch: cheap now
+#                     (~0.3 ms/level on the target chip), and one
+#                     closure covers all but the longest amplicons
 
 BLOCK = 32          # contiguous rows fetched per bucket probe
 
@@ -84,25 +97,41 @@ BLOCK = 32          # contiguous rows fetched per bucket probe
 
 
 def _lut_bits(n_slots: int, k: int) -> int:
-    """Bucket count ~ rows/16 keeps probes at 1-2 block reads; bounded
+    """Initial bucket-bit guess (~rows/16 per bucket); build_sidecar
+    raises it until the max occupancy fits one 2-block probe. Bounded
     by the key width so tiny-k tests stay valid."""
     b = max(6, n_slots.bit_length() - 5)
     return min(b, 2 * k - 1, 26)
 
 
+def _lut_bits_cap(k: int) -> int:
+    return min(2 * k - 1, 26)
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "shift"))
 def _build_lut_kernel(keys, bits: int, shift: int):
     """lut[b] = first row index whose bucket (key >> shift) >= b, for
-    b in [0, 2^bits]; == n_rows for buckets past the last occupied row.
-    One full-width sort compacts the run starts (first row of each
-    bucket), then a small scatter + reverse-cummin backfill."""
+    b in [0, 2^bits]; == n_real for buckets past the last occupied
+    row. One full-width sort compacts the bucket run starts, then a
+    small scatter + reverse-cummin backfill. (A searchsorted of the
+    2^bits boundaries looks simpler but is gather-bound: millions of
+    25-step binary searches cost seconds on this chip, vs ~0.15 s for
+    the unstable sort.) Also returns the max bucket occupancy, which
+    build_sidecar uses to guarantee every bucket fits the kernel's
+    fixed two-block probe window."""
     n = keys.shape[0]
-    bi = jnp.minimum(keys >> jnp.uint64(shift), jnp.uint64(1) << jnp.uint64(bits))
-    prev = jnp.concatenate([jnp.full((1,), jnp.uint64(0xFFFF_FFFF_FFFF_FFFF)), bi[:-1]])
+    bi = jnp.minimum(
+        keys >> jnp.uint64(shift), jnp.uint64(1) << jnp.uint64(bits)
+    )
+    prev = jnp.concatenate(
+        [jnp.full((1,), jnp.uint64(0xFFFF_FFFF_FFFF_FFFF)), bi[:-1]]
+    )
     first = bi != prev
     pos = jnp.arange(n, dtype=jnp.int64)
-    packed = jnp.where(first, (bi.astype(jnp.int64) << 32) | pos,
-                       jnp.int64(0x7FFF_FFFF_FFFF_FFFF))
+    packed = jnp.where(
+        first, (bi.astype(jnp.int64) << 32) | pos,
+        jnp.int64(0x7FFF_FFFF_FFFF_FFFF),
+    )
     n_buckets = (1 << bits) + 1
     take = min(n_buckets, n)
     sp = jax.lax.sort(packed, is_stable=False)[:take]
@@ -113,7 +142,11 @@ def _build_lut_kernel(keys, bits: int, shift: int):
     lut = lut.at[idx].min(val, mode="drop")
     # backfill: empty buckets inherit the next occupied bucket's start
     lut = jnp.flip(jax.lax.cummin(jnp.flip(jnp.minimum(lut, jnp.int32(n)))))
-    return lut
+    max_occ = jnp.max(lut[1:] - lut[:-1])
+    return lut, max_occ
+
+
+F_NARROW = 64  # steady-state loop width (live walkers rarely exceed ~30)
 
 
 @dataclass(frozen=True)
@@ -125,13 +158,47 @@ class PartSidecar:
     lut: jax.Array      # [2^bits + 1] int32 row offsets
     bits: int
     shift: int
+    # key | min(count, 2^(64-2k)-1) << 2k, when >= 12 spare bits exist:
+    # the in-loop probe then gathers ONE block array for both the key
+    # compare and the (saturating-exact) threshold test
+    packed2d: jax.Array | None = None
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pack_counts_kernel(keys, counts, k: int):
+    spare = 64 - 2 * k
+    cap = jnp.uint64((1 << spare) - 1)
+    return keys | (
+        jnp.minimum(counts.astype(jnp.uint64), cap) << jnp.uint64(2 * k)
+    )
 
 
 def build_sidecar(part_keys, part_counts, k: int) -> PartSidecar:
     n_slots = int(part_keys.shape[0])
     bits = _lut_bits(n_slots, k)
-    shift = 2 * k - bits
-    lut = _build_lut_kernel(part_keys, bits, shift)
+    cap = _lut_bits_cap(k)
+    # raise bits until every bucket fits the probe's fixed two-block
+    # window: occupancy <= BLOCK rows means [32*(s>>5), +64) always
+    # covers [s, e) regardless of s's alignment, so the in-loop lookup
+    # needs no widen retries (each LUT build is one searchsorted)
+    while True:
+        shift = 2 * k - bits
+        lut, max_occ = _build_lut_kernel(part_keys, bits, shift)
+        if int(max_occ) <= BLOCK or bits >= cap:
+            break
+        bits += 1
+    if int(max_occ) > BLOCK + 1:
+        # the two-block window starting at the bucket's first block
+        # always covers >= BLOCK+1 rows from the bucket start (worst
+        # alignment: s % 32 == 31 leaves 64 - 31 = 33 covered rows).
+        # Exceeding that at the bits cap would make probes miss rows —
+        # practically unreachable (at the cap a bucket spans at most a
+        # tiny key range of UNIQUE keys), so refuse loudly rather than
+        # serve wrong counts
+        raise ValueError(
+            f"bucket occupancy {int(max_occ)} exceeds probe window at "
+            f"bits cap {cap} (k={k})"
+        )
     pad = (-n_slots) % BLOCK
     if pad:  # partition widths are powers of two >= 64, so this is moot
         part_keys = jnp.concatenate(
@@ -140,10 +207,15 @@ def build_sidecar(part_keys, part_counts, k: int) -> PartSidecar:
         part_counts = jnp.concatenate(
             [part_counts, jnp.zeros((pad,), jnp.uint32)]
         )
+    packed2d = None
+    if 64 - 2 * k >= 12:
+        packed2d = _pack_counts_kernel(
+            part_keys, part_counts, k
+        ).reshape(-1, BLOCK)
     return PartSidecar(
         keys2d=part_keys.reshape(-1, BLOCK),
         counts2d=part_counts.reshape(-1, BLOCK),
-        lut=lut, bits=bits, shift=shift,
+        lut=lut, bits=bits, shift=shift, packed2d=packed2d,
     )
 
 
@@ -159,33 +231,66 @@ def _rc_index_kernel(keys, k: int):
     return jax.lax.sort((rc, idx), num_keys=1, is_stable=False)
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "max_out"))
-def _range_rows_kernel(sorted_keys, oligos, n_keys, shift: int, max_out: int):
-    """Row positions of ``sorted_keys`` lying in any oligo's key range
-    [oligo << shift, (oligo+1) << shift), padded with -1 to max_out.
-    ``oligos`` may be padded with 4^olen, whose range is empty.
-    Returns (rows int32 [max_out], total matches)."""
-    lo = oligos << jnp.uint64(shift)
-    hi = (oligos + jnp.uint64(1)) << jnp.uint64(shift)
-    s = jnp.minimum(jnp.searchsorted(sorted_keys, lo), n_keys)
-    e = jnp.minimum(jnp.searchsorted(sorted_keys, hi), n_keys)
-    lens = (e - s).astype(jnp.int32)
-    offs = jnp.cumsum(lens)
-    total = offs[-1]
-    j = jnp.arange(max_out, dtype=jnp.int32)
-    seg = jnp.minimum(
-        jnp.searchsorted(offs, j, side="right"), offs.shape[0] - 1
+@functools.partial(jax.jit, static_argnames=("shift", "k", "max_out"))
+def _fused_scan_kernel(part_keys, part_counts, rc_sorted, rc_order,
+                       n_keys, oligos, shift: int, k: int, max_out: int):
+    """One partition's primer scan in ONE dispatch: forward range rows,
+    reverse-strand rows (mapped through the rc index), row-level
+    forward precedence, and the normalized (kmer, count) gathers. On
+    the tunneled deployment link every dispatch/sync round trip costs
+    tens of ms, so the previous 5-7-call formulation dominated per-gene
+    primer discovery.
+
+    Returns (kmers u64 [2*max_out] EMPTY-padded, counts u32
+    [2*max_out], totals i64 [2]) — totals carry the TRUE fwd/rc match
+    counts so the host can detect max_out overflow without an extra
+    round trip.
+    """
+
+    def range_rows(sorted_keys):
+        lo = oligos << jnp.uint64(shift)
+        hi = (oligos + jnp.uint64(1)) << jnp.uint64(shift)
+        s = jnp.minimum(jnp.searchsorted(sorted_keys, lo), n_keys)
+        e = jnp.minimum(jnp.searchsorted(sorted_keys, hi), n_keys)
+        lens = (e - s).astype(jnp.int64)
+        offs = jnp.cumsum(lens)
+        total = offs[-1]
+        j = jnp.arange(max_out, dtype=jnp.int64)
+        seg = jnp.minimum(
+            jnp.searchsorted(offs, j, side="right"), offs.shape[0] - 1
+        )
+        base = offs[seg] - lens[seg]
+        row = s[seg].astype(jnp.int64) + (j - base)
+        row = jnp.where(j < total, row, jnp.int64(-1))
+        return row, total
+
+    fwd_rows, fwd_total = range_rows(part_keys)
+    rc_pos, rc_total = range_rows(rc_sorted)
+    rc_rows = jnp.where(
+        rc_pos >= 0,
+        rc_order[jnp.maximum(rc_pos, 0)].astype(jnp.int64),
+        jnp.int64(-1),
     )
-    base = offs[seg] - lens[seg]
-    row = s[seg].astype(jnp.int32) + (j - base)
-    row = jnp.where(j < total, row, jnp.int32(-1))
-    return row, total
+    # forward precedence: a dual-orientation row reports forward only
+    big = jnp.int64(0x7FFF_FFFF_FFFF_FFFF)
+    fwd_sorted = jnp.sort(jnp.where(fwd_rows >= 0, fwd_rows, big))
+    idx = jnp.minimum(jnp.searchsorted(fwd_sorted, rc_rows), max_out - 1)
+    dup = (fwd_sorted[idx] == rc_rows) & (rc_rows >= 0)
+    rc_rows = jnp.where(dup, jnp.int64(-1), rc_rows)
 
-
-@jax.jit
-def _gather_rows_kernel(keys, counts, rows):
-    safe = jnp.maximum(rows, 0)
-    return keys[safe], counts[safe]
+    safe_f = jnp.maximum(fwd_rows, 0)
+    safe_r = jnp.maximum(rc_rows, 0)
+    k_f = part_keys[safe_f]
+    k_r = _revcomp_kernel(part_keys[safe_r], k)
+    kmers = jnp.concatenate([
+        jnp.where(fwd_rows >= 0, k_f, jnp.uint64(EMPTY)),
+        jnp.where(rc_rows >= 0, k_r, jnp.uint64(EMPTY)),
+    ])
+    counts = jnp.concatenate([
+        jnp.where(fwd_rows >= 0, part_counts[safe_f], jnp.uint32(0)),
+        jnp.where(rc_rows >= 0, part_counts[safe_r], jnp.uint32(0)),
+    ])
+    return kmers, counts, jnp.stack([fwd_total, rc_total])
 
 
 def range_scan_part(part_keys, part_counts, rc_sorted, rc_order, n: int,
@@ -201,8 +306,6 @@ def range_scan_part(part_keys, part_counts, rc_sorted, rc_order, n: int,
 
     Returns (kmers u64, counts u32) for all matched rows.
     """
-    from .encoding import revcomp_kmers_np
-
     shift = 2 * (k - oligo_len)
     pad_val = np.uint64(1) << np.uint64(2 * oligo_len)  # above all oligos
     width = max(64, 1 << max(len(oligos) - 1, 0).bit_length())
@@ -210,63 +313,67 @@ def range_scan_part(part_keys, part_counts, rc_sorted, rc_order, n: int,
     padded[: len(oligos)] = np.sort(np.asarray(oligos, np.uint64))
     oligos_j = jnp.asarray(padded)
 
-    def rows_of(sorted_keys, cur_max):
-        while True:
-            rows, total = _range_rows_kernel(
-                sorted_keys, oligos_j, jnp.int64(n), shift, cur_max
-            )
-            total = int(total)
-            if total <= cur_max:
-                return np.asarray(rows)[:total], cur_max
-            cur_max = 1 << (total - 1).bit_length()
+    while True:
+        kmers, counts, totals = _fused_scan_kernel(
+            part_keys, part_counts, rc_sorted, rc_order, jnp.int64(n),
+            oligos_j, shift, k, max_out,
+        )
+        for a in (totals, kmers, counts):
+            a.copy_to_host_async()  # overlap: one link round trip
+        tot = np.asarray(totals)
+        if int(tot.max()) <= max_out:
+            break
+        max_out = 1 << (int(tot.max()) - 1).bit_length()
 
-    fwd_rows, max_out = rows_of(part_keys, max_out)
-    rc_pos, _ = rows_of(rc_sorted, max_out)
-    rc_rows = np.asarray(
-        _gather_rows_kernel(rc_order, rc_order,
-                            jnp.asarray(rc_pos.astype(np.int64)))[0]
-    ).astype(np.int64) if len(rc_pos) else np.zeros(0, np.int64)
-    fwd_rows = fwd_rows.astype(np.int64)
-    # forward precedence: a dual-orientation row reports forward only
-    rc_rows = np.setdiff1d(rc_rows, fwd_rows, assume_unique=False)
-
-    all_rows = np.concatenate([fwd_rows, rc_rows])
-    if len(all_rows) == 0:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
-    kh, ch = _gather_rows_kernel(part_keys, part_counts,
-                                 jnp.asarray(all_rows))
-    kh, ch = np.asarray(kh), np.asarray(ch)
-    out = kh.copy()
-    if len(rc_rows):
-        out[len(fwd_rows):] = revcomp_kmers_np(kh[len(fwd_rows):], k)
-    return out, ch
+    kh = np.asarray(kmers)
+    ch = np.asarray(counts)
+    live = kh != EMPTY
+    return kh[live], ch[live]
 
 
 # -- reachability closure ------------------------------------------------------
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "depth", "f_cap", "v_cap", "bases"),
+    jax.jit,
+    static_argnames=(
+        "k", "depth", "f_cap", "f_narrow", "n_words", "bases", "packed",
+    ),
 )
 def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
-                  k: int, depth: int, f_cap: int, v_cap: int,
-                  bases: tuple):
+                  k: int, depth: int, f_cap: int, f_narrow: int,
+                  n_words: int, bases: tuple, packed: bool):
     """Depth-capped 8-neighbour closure over the partitioned table.
 
-    keys2d/counts2d/luts: tuples of per-partition sidecar arrays;
-    shifts: per-partition LUT shifts (static values inside tuples);
+    keys2d/counts2d/luts: tuples of per-partition sidecar arrays (when
+    ``packed``, keys2d holds the count-packed blocks and the threshold
+    test rides the same gather); shifts: per-partition LUT shifts;
     bases: per-partition global row-id offsets. c0: the host wave's
-    candidate k-mers, EMPTY-padded. Returns (visited_keys,
-    visited_counts [v_cap], n_visited, iters, overflow, done).
+    candidate k-mers, EMPTY-padded. ``n_words``: visited-bitmap width
+    (total padded rows / 32).
+
+    The expansion runs in TWO phases: a wide loop at ``f_cap`` while
+    the frontier is larger than ``f_narrow`` (the root level seeds up
+    to hundreds of primer-variant walkers), then a narrow loop at
+    ``f_narrow``. Per-level cost is dominated by scattered gathers and
+    scales with candidate width, but after the seed cluster collapses
+    a walk carries only a handful of live walkers — the narrow phase
+    is ~f_cap/f_narrow cheaper per level and covers almost all levels.
+
+    Returns (visited_keys, visited_counts [(depth+1)*f_cap], n_visited,
+    iters, overflow, done) — the append-log of first-visit rows in BFS
+    order, EMPTY-padded inside each level's block.
     """
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     c_cap = c0.shape[0]
+    log_w = (depth + 1) * f_cap
     inf = jnp.int32(_INF32)
 
     def lookup(cand):
-        """(global row id | INF, count) per candidate k-mer."""
+        """(global row id | INF) per candidate k-mer. One fixed
+        two-block window per candidate: build_sidecar guarantees every
+        bucket's occupancy fits it (no widen retries in the loop)."""
         ids = jnp.full(cand.shape, inf)
-        cnt = jnp.zeros(cand.shape, jnp.uint32)
         for k2d, c2d, lut, shift, base in zip(
             keys2d, counts2d, luts, shifts, bases
         ):
@@ -277,52 +384,30 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
             s = lut[b]
             e = lut[b + 1]
             j0 = (s >> 5).astype(jnp.int64)  # BLOCK = 32
-
-            def probe(j0, s, e, found_row, found_cnt, live):
-                jb = jnp.minimum(j0, k2d.shape[0] - 1)
-                jb2 = jnp.minimum(j0 + 1, k2d.shape[0] - 1)
-                blk = jnp.concatenate([k2d[jb], k2d[jb2]], axis=-1)
-                cblk = jnp.concatenate([c2d[jb], c2d[jb2]], axis=-1)
-                rows = (jb * BLOCK)[:, None] + jnp.arange(
-                    2 * BLOCK, dtype=jnp.int64
-                )[None, :]
-                valid = (rows >= s[:, None]) & (rows < e[:, None])
-                hit = valid & (blk == cand[:, None]) & live[:, None]
-                anyhit = jnp.any(hit, axis=-1)
-                row = jnp.max(jnp.where(hit, rows, -1), axis=-1)
-                cc = jnp.max(jnp.where(hit, cblk, 0), axis=-1)
-                found_row = jnp.where(anyhit, row, found_row)
-                found_cnt = jnp.where(anyhit, cc, found_cnt)
-                # still unresolved: bucket extends past the scanned window
-                live = live & ~anyhit & (e > (jb2 + 1) * BLOCK)
-                return found_row, found_cnt, live
-
             live = (cand != jnp.uint64(EMPTY)) & (e > s)
-            found_row = jnp.full(cand.shape, jnp.int64(-1))
-            found_cnt = jnp.zeros(cand.shape, jnp.uint32)
-            found_row, found_cnt, live = probe(
-                j0, s, e, found_row, found_cnt, live
-            )
-
-            def widen_cond(st):
-                return jnp.any(st[3])
-
-            def widen_body(st):
-                j, fr, fc, lv = st
-                j = j + 2
-                fr, fc, lv = probe(j, s, e, fr, fc, lv)
-                return j, fr, fc, lv
-
-            _, found_row, found_cnt, _ = jax.lax.while_loop(
-                widen_cond, widen_body, (j0, found_row, found_cnt, live)
-            )
-            mine = found_row >= 0
+            jb = jnp.minimum(j0, k2d.shape[0] - 1)
+            jb2 = jnp.minimum(j0 + 1, k2d.shape[0] - 1)
+            blk = jnp.concatenate([k2d[jb], k2d[jb2]], axis=-1)
+            rows = (jb * BLOCK)[:, None] + jnp.arange(
+                2 * BLOCK, dtype=jnp.int64
+            )[None, :]
+            valid = (rows >= s[:, None]) & (rows < e[:, None])
+            if packed:
+                key_eq = (blk & kmask) == cand[:, None]
+                above = (blk >> jnp.uint64(2 * k)) >= min_count
+                hit = valid & key_eq & above & live[:, None]
+            else:
+                cblk = jnp.concatenate([c2d[jb], c2d[jb2]], axis=-1)
+                hit = (
+                    valid & (blk == cand[:, None]) & live[:, None]
+                    & (cblk >= min_count)
+                )
+            row = jnp.max(jnp.where(hit, rows, -1), axis=-1)
+            mine = row >= 0
             ids = jnp.where(
-                mine, found_row.astype(jnp.int32) + jnp.int32(base), ids
+                mine, row.astype(jnp.int32) + jnp.int32(base), ids
             )
-            cnt = jnp.where(mine, found_cnt, cnt)
-        ok = cnt >= min_count
-        return jnp.where(ok, ids, inf)
+        return ids
 
     def expand(frontier):
         f = frontier[:, None]
@@ -338,19 +423,26 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
         return jnp.where(c == jnp.uint64(EMPTY), jnp.uint64(EMPTY),
                          jnp.minimum(c, rc))
 
-    def process(cand, visited, prev_ids):
-        """New hits among ``cand``: not visited, not in the previous
-        frontier, unique. Returns (frontier kmers [f_cap], their ids
-        [f_cap] sorted, n_new, overflow)."""
+    def mark(bitmap, ids):
+        """Set the bitmap bits of ``ids`` (unique, INF-padded). The
+        scatter-ADD is exact OR here: ids are unique within the call
+        and pre-filtered to unset bits, so each (word, bit) is added at
+        most once ever. INF indices land past n_words and drop."""
+        w = (ids >> 5).astype(jnp.int32)
+        bit = jnp.uint32(1) << (ids & 31).astype(jnp.uint32)
+        bit = jnp.where(ids != inf, bit, jnp.uint32(0))
+        return bitmap.at[w].add(bit, mode="drop")
+
+    def process(cand, bitmap, width: int):
+        """First-visit hits among ``cand``: in-table, count >= floor,
+        bit not yet set, unique within the call. Returns (frontier
+        kmers [width], their ids [width] INF-padded-sorted, n_new,
+        overflow: more new rows than the frontier can carry)."""
         cc = canon(cand)
         ids = lookup(cc)
-        vi = jnp.minimum(jnp.searchsorted(visited, ids), visited.shape[0] - 1)
-        seen_v = visited[vi] == ids
-        pi = jnp.minimum(
-            jnp.searchsorted(prev_ids, ids), prev_ids.shape[0] - 1
-        )
-        seen_p = prev_ids[pi] == ids
-        ids = jnp.where(seen_v | seen_p, inf, ids)
+        w = jnp.minimum((ids >> 5).astype(jnp.int32), n_words - 1)
+        seen = (bitmap[w] >> (ids & 31).astype(jnp.uint32)) & 1
+        ids = jnp.where((seen == 1) | (ids == inf), inf, ids)
         order = jnp.argsort(ids)
         ids_s = ids[order]
         km_s = cc[order]
@@ -361,88 +453,96 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
         km_s = jnp.where(first & (ids_s != inf), km_s, jnp.uint64(EMPTY))
         n_all = jnp.sum(ids_s != inf).astype(jnp.int32)
         order2 = jnp.argsort(ids_s)
-        ids_f = ids_s[order2][:f_cap]
-        km_f = km_s[order2][:f_cap]
+        ids_f = ids_s[order2][:width]
+        km_f = km_s[order2][:width]
         n_new = jnp.sum(ids_f != inf).astype(jnp.int32)
         return km_f, ids_f, n_new, n_all > n_new
 
-    def merge_visited(visited, pend):
-        merged = jnp.sort(jnp.concatenate([visited, pend.reshape(-1)]))
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), merged[1:] != merged[:-1]]
-        )
-        m2 = jnp.sort(jnp.where(first, merged, inf))[:v_cap]
-        n = jnp.sum(m2 != inf).astype(jnp.int32)
-        return m2, n
+    def make_body(width: int):
+        def body(state):
+            frontier, bitmap, log, n_vis, it, overflow, _ = state
+            cand = expand(frontier)
+            km, ids, n_new, ov = process(cand, bitmap, width)
+            bitmap = mark(bitmap, ids)
+            # log blocks are addressed in f_cap strides regardless of
+            # phase width (the narrow block's tail stays INF)
+            log = jax.lax.dynamic_update_slice(log, ids, (it * f_cap,))
+            done = n_new == 0
+            return (km, bitmap, log, n_vis + n_new, it + 1,
+                    overflow | ov, done)
+        return body
 
-    visited0 = jnp.full((v_cap,), inf)
-    pend0 = jnp.full((MERGE_EVERY, f_cap), inf)
-    prev0 = jnp.full((c_cap,), inf)
-
-    km0, ids0, n0, ov0 = process(c0, visited0, prev0)
-    pend0 = pend0.at[0].set(ids0)
-    # prev-frontier dedup array is 8*f_cap wide throughout the loop
-    prev_sorted0 = jnp.sort(
-        jnp.concatenate([ids0, jnp.full((8 * f_cap - f_cap,), inf)])
-    )
-
-    def body(state):
-        (frontier, prev_ids, visited, n_vis, n_pend, pend, it,
-         overflow, _) = state
-        cand = expand(frontier)
-        km, ids, n_new, ov = process(cand, visited, prev_ids)
-        slot = it % MERGE_EVERY
-        pend = pend.at[slot].set(ids)
-        n_pend = n_pend + n_new
-
-        def do_merge(args):
-            v, _nv, _np, p = args
-            v2, nv2 = merge_visited(v, p)
-            return v2, nv2, jnp.int32(0), jnp.full_like(p, inf)
-
-        visited, n_vis, n_pend, pend = jax.lax.cond(
-            slot == MERGE_EVERY - 1, do_merge, lambda a: a,
-            (visited, n_vis, n_pend, pend),
-        )
-        prev_sorted = jnp.sort(
-            jnp.concatenate([ids, jnp.full((8 * f_cap - f_cap,), inf)])
-        )
-        done = n_new == 0
-        return (km, prev_sorted, visited, n_vis, n_pend, pend, it + 1,
-                overflow | ov, done)
-
-    def cond(state):
-        _, _, _, n_vis, n_pend, _, it, overflow, done = state
-        # iteration 0 (the roots) ran before the loop; body entries at
-        # it = 1..depth perform exactly `depth` expansion levels
+    def cond_wide(state):
+        frontier, _, _, _n_vis, it, overflow, done = state
+        # keep the wide loop only while the frontier would overflow the
+        # narrow width; iteration 0 (the roots) ran before the loop, so
+        # body entries at it = 1..depth perform exactly `depth` levels
+        n_live = jnp.sum(frontier != jnp.uint64(EMPTY))
         return (
-            (~done) & (it <= depth) & (~overflow)
-            & (n_vis + n_pend + f_cap < v_cap)
+            (~done) & (it <= depth) & (~overflow) & (n_live > f_narrow)
         )
 
-    # after iteration 0 the frontier is at most f_cap wide, so the loop
-    # candidate width is 8 * f_cap (c_cap only shapes iteration 0)
-    state = (km0, prev_sorted0, visited0, jnp.int32(0), n0, pend0,
-             jnp.int32(1), ov0, n0 == 0)
-    (_, _, visited, n_vis, n_pend, pend, it, overflow, done
-     ) = jax.lax.while_loop(cond, body, state)
-    visited, n_vis = merge_visited(visited, pend)
-    v_full = n_vis + n_pend + f_cap >= v_cap
+    def cond_narrow(state):
+        _, _, _, _n_vis, it, overflow, done = state
+        return (~done) & (it <= depth) & (~overflow)
 
-    # gather keys/counts of the visited rows
-    out_keys = jnp.full((v_cap,), jnp.uint64(EMPTY))
-    out_counts = jnp.zeros((v_cap,), jnp.uint32)
-    live = visited != inf
+    bitmap0 = jnp.zeros((n_words,), jnp.uint32)
+    log0 = jnp.full((log_w,), inf)
+    km0, ids0, n0, ov0 = process(c0, bitmap0, f_cap)
+    bitmap0 = mark(bitmap0, ids0)
+    log0 = jax.lax.dynamic_update_slice(log0, ids0, (jnp.int32(0),))
+
+    state = (km0, bitmap0, log0, n0, jnp.int32(1), ov0, n0 == 0)
+    if f_narrow < f_cap:
+        state = jax.lax.while_loop(cond_wide, make_body(f_cap), state)
+        frontier, bitmap, log, n_vis, it, overflow, done = state
+        # hand the (now <= f_narrow live walkers, sorted to the front)
+        # frontier to the narrow loop
+        state = (frontier[:f_narrow], bitmap, log, n_vis, it, overflow,
+                 done)
+        state = jax.lax.while_loop(cond_narrow, make_body(f_narrow), state)
+    else:
+        state = jax.lax.while_loop(cond_narrow, make_body(f_cap), state)
+    (_, _, log, n_vis, it, overflow, done) = state
+
+    # gather keys/counts of the logged first-visit rows, then compact
+    # with one tiny kv-sort: EMPTY keys sort to the end and real keys
+    # come out ascending — so callers can fetch just the occupied
+    # prefix, and it is already in ReachResult order
+    out_keys = jnp.full((log_w,), jnp.uint64(EMPTY))
+    out_counts = jnp.zeros((log_w,), jnp.uint32)
+    live = log != inf
     for k2d, c2d, base in zip(keys2d, counts2d, bases):
         n_rows = k2d.shape[0] * BLOCK
-        local = (visited - jnp.int32(base)).astype(jnp.int64)
+        local = (log - jnp.int32(base)).astype(jnp.int64)
         mine = live & (local >= 0) & (local < n_rows)
         safe = jnp.where(mine, local, 0)
         flat_k = k2d.reshape(-1)
         flat_c = c2d.reshape(-1)
-        out_keys = jnp.where(mine, flat_k[safe], out_keys)
+        gk = flat_k[safe]
+        if packed:  # strip the packed count bits back off the key
+            gk = gk & kmask
+        out_keys = jnp.where(mine, gk, out_keys)
+        # counts come from the exact u32 plane either way
         out_counts = jnp.where(mine, flat_c[safe], out_counts)
-    return out_keys, out_counts, n_vis, it, overflow | v_full, done
+    out_keys, out_counts = jax.lax.sort(
+        (out_keys, out_counts), num_keys=1, is_stable=False
+    )
+    # scalars packed into ONE small array: on the tunneled deployment
+    # link every host sync is a ~20 ms round trip, so four separate
+    # int()/bool() reads per call would dominate small closures
+    scalars = jnp.stack([
+        n_vis.astype(jnp.int64),
+        it.astype(jnp.int64),
+        overflow.astype(jnp.int64),
+        done.astype(jnp.int64),
+    ])
+    return out_keys, out_counts, scalars
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _prefix_kernel(arr, width: int):
+    return jax.lax.slice(arr, (0,), (width,))
 
 
 @dataclass
@@ -455,7 +555,7 @@ class ReachResult:
 
 def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
           min_count: int, k: int, depth: int = DEPTH, f_cap: int = F_CAP,
-          v_cap: int = V_CAP, max_retries: int = 4) -> ReachResult | None:
+          max_retries: int = 4) -> ReachResult | None:
     """Host driver for the closure kernel with grow-and-retry.
 
     ``roots``: candidate k-mers of the current host wave (directional;
@@ -469,43 +569,78 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
         return ReachResult(
             np.zeros(0, np.uint64), np.zeros(0, np.uint32), True, 0
         )
-    keys2d = tuple(s.keys2d for s in sidecars)
+    # packed probes carry a saturating count in the key's spare bits;
+    # exact iff the threshold fits below the saturation cap
+    packed = all(s.packed2d is not None for s in sidecars) and (
+        min_count < (1 << (64 - 2 * k)) - 1
+    )
+    keys2d = tuple(
+        (s.packed2d if packed else s.keys2d) for s in sidecars
+    )
     counts2d = tuple(s.counts2d for s in sidecars)
     luts = tuple(s.lut for s in sidecars)
     shifts = tuple(
         jnp.asarray(s.shift, jnp.uint64) for s in sidecars
     )
+    n_rows_total = sum(int(s.keys2d.shape[0]) * BLOCK for s in sidecars)
+    n_words = max(64, -(-n_rows_total // 32))
 
     out_k: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
     complete = True
     iters = 0
     # start wide enough that the root wave's own hits fit the frontier
-    # (iteration 0 can yield up to len(roots) new rows)
-    while f_cap < min(len(roots), 1024):
-        f_cap, v_cap = f_cap * 2, v_cap * 2
+    # (iteration 0 can yield up to len(roots) new rows); stay on the
+    # quantized shape ladder — every f_cap is a separate XLA compile
+    while f_cap < min(len(roots), 4096):
+        f_cap *= F_GROW
     c_cap = 8 * f_cap
     for start in range(0, len(roots), c_cap):
         chunk = roots[start : start + c_cap]
         c0 = np.full(c_cap, EMPTY, np.uint64)
         c0[: len(chunk)] = chunk
-        cur_f, cur_v = f_cap, v_cap
+        cur_f, cur_n = f_cap, F_NARROW
+        t_call = time.perf_counter()
         for attempt in range(max_retries + 1):
-            keys, counts, n_vis, it, overflow, done = _reach_kernel(
+            keys, counts, scalars = _reach_kernel(
                 keys2d, counts2d, luts, shifts, jnp.asarray(c0),
-                jnp.uint32(max(min_count, 1)), k, depth, cur_f, cur_v,
-                bases,
+                jnp.uint32(max(min_count, 1)), k, depth, cur_f,
+                min(cur_n, cur_f), n_words, bases, packed,
             )
-            if not bool(overflow):
+            sc = np.asarray(scalars)  # the call's ONE device sync
+            n_vis, it = int(sc[0]), int(sc[1])
+            overflow, done = bool(sc[2]), bool(sc[3])
+            if not overflow:
                 break
             if attempt == max_retries:
                 return None
-            cur_f, cur_v = cur_f * 2, cur_v * 4
-        n = int(n_vis)
-        out_k.append(np.asarray(keys)[:n])
-        out_c.append(np.asarray(counts)[:n])
-        complete = complete and bool(done)
-        iters += int(it)
+            # an overflow can come from either phase: grow both widths
+            # (shapes stay on the quantized ladder)
+            cur_f *= F_GROW
+            cur_n *= F_GROW
+        if n_vis:
+            # fetch only the occupied prefix (the kernel compacted it
+            # to the front); pow2 widths keep the slice kernel at a
+            # handful of compiled shapes, and the async copies share
+            # one link round trip
+            w = min(int(keys.shape[0]), 1 << max(n_vis - 1, 0).bit_length())
+            pk = _prefix_kernel(keys, w)
+            pc = _prefix_kernel(counts, w)
+            pk.copy_to_host_async()
+            pc.copy_to_host_async()
+            out_k.append(np.asarray(pk)[:n_vis])
+            out_c.append(np.asarray(pc)[:n_vis])
+        else:
+            out_k.append(np.zeros(0, np.uint64))
+            out_c.append(np.zeros(0, np.uint32))
+        complete = complete and done
+        iters += it
+        log.debug(
+            "reach: %d roots, %d iters, %d visited, f_cap %d, "
+            "done=%s, %.3fs",
+            len(chunk), it, n_vis, cur_f, done,
+            time.perf_counter() - t_call,
+        )
 
     keys = np.concatenate(out_k)
     counts = np.concatenate(out_c)

@@ -27,6 +27,7 @@ backend); their outputs are tiny.
 
 from __future__ import annotations
 
+import logging
 import threading
 from dataclasses import dataclass, field
 
@@ -34,6 +35,8 @@ import numpy as np
 
 from ..ops.encoding import revcomp_kmer
 from ..ops.hashtable import KmerTable
+
+log = logging.getLogger("sharkmer")
 
 
 class SmallCounts:
@@ -91,7 +94,7 @@ class FilteredTable:
     table: KmerTable
     min_count: int
     mode: str = "auto"  # auto | full | device
-    prefetch_depth: int = 512
+    prefetch_depth: int = 2048
     _mirror: tuple[np.ndarray, np.ndarray] | None = None
     # one gene pool shares this view: without the lock every worker
     # would race to build the same multi-second mirror
@@ -139,6 +142,22 @@ class FilteredTable:
         mode = self._resolved_mode()
         if mode == "prefetch":
             self.table.prepare_spcr()
+            # compile the closure kernel at the production variants so
+            # the first genes' walks don't pay the (tens of seconds)
+            # compile: both standard frontier shapes, and a min_count
+            # just below the packed-count saturation cap — high enough
+            # that the warmup quiesces after the root level, low enough
+            # to select the same packed kernel production calls use
+            spare = 64 - 2 * self.table.k
+            warm_mc = (1 << spare) - 2 if spare >= 12 else (1 << 30)
+            for n_roots in (1, 257):  # f_cap 256 and 1024 shapes
+                try:
+                    self.table.reach(
+                        np.arange(1, n_roots + 1, dtype=np.uint64),
+                        warm_mc, depth=self.prefetch_depth,
+                    )
+                except Exception:  # pragma: no cover - best-effort
+                    log.debug("reach warmup failed", exc_info=True)
         elif mode == "full":
             self._get_mirror()
 

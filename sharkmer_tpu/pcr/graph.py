@@ -261,25 +261,34 @@ def extend_graph(
     min_count: int,
     params: PCRParams,
     max_num_nodes: int,
+    lookup=None,
 ) -> tuple[DBGraph, dict[int, int], bool]:
     """Unified bidirectional extension (graph.rs:321-528).
 
     Returns (graph, node_lookup, found_path). found_path = forward and
     reverse extension frontiers met.
+
+    ``lookup``: optional lookup provider. do_pcr passes one
+    PrefetchSession at the schedule's LOWEST threshold shared across
+    all threshold steps — the device closure at the floor is a
+    superset of every higher step's closure, so one prefetch serves
+    the whole sweep (the walk filters candidates at its own step
+    threshold either way).
     """
     k = counts.k
     suffix_mask = get_suffix_mask(k)
     prefix_shift = 2 * (k - 1)
     found_path = False
 
-    # per-walk lookup provider: a device-prefetch cache session when
-    # the backend supports reachability closures, the plain view
-    # otherwise (semantics identical either way — the session only
-    # caches, see pcr/prefetch.py)
-    lookup = (
-        counts.extension_session(min_count)
-        if hasattr(counts, "extension_session") else counts
-    )
+    if lookup is None:
+        # per-walk lookup provider: a device-prefetch cache session
+        # when the backend supports reachability closures, the plain
+        # view otherwise (semantics identical either way — the session
+        # only caches, see pcr/prefetch.py)
+        lookup = (
+            counts.extension_session(min_count)
+            if hasattr(counts, "extension_session") else counts
+        )
 
     last_check = 0
     # live edge-count list: extension only ever ADDS edges, so appending

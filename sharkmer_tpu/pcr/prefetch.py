@@ -18,9 +18,12 @@ filled by depth-capped device closures (ops/reach.py):
   (the common case: one device call per gene x step).
 
 If the device closure overflows its retry ladder (pathological
-connectivity, e.g. a high-copy repeat family at a permissive
-threshold), the session degrades to exact per-wave device lookups —
-slow but correct.
+connectivity, e.g. the floor threshold on a deep table, where the
+above-threshold background is one giant component), the session
+degrades to the shared host mirror when the filtered table is small
+enough to export (one multi-second transfer amortized across the gene
+pool via FilteredTable's lock), else to exact per-wave device lookups
+— slower but correct either way.
 """
 
 from __future__ import annotations
@@ -48,7 +51,8 @@ class PrefetchSession:
         self._counts = np.zeros(0, np.uint32)
         self._waves_left = 0
         self._complete = False  # closure quiesced: misses final
-        self._dead = False  # device overflowed: per-wave fallback
+        self._dead = False  # device overflowed: mirror/per-wave fallback
+        self._fallback_mirror = None  # (sorted keys, counts) after overflow
         self.n_prefetches = 0
         self.device_iters = 0
 
@@ -70,18 +74,39 @@ class PrefetchSession:
         return np.zeros(len(canon), np.uint32)
 
     def _device_exact(self, canon: np.ndarray) -> np.ndarray:
-        counts = np.asarray(self.view.table.lookup_directional(canon))
+        if self._fallback_mirror is not None:
+            mk, mc = self._fallback_mirror
+            idx = np.searchsorted(mk, canon)
+            idx = np.minimum(idx, max(len(mk) - 1, 0))
+            if len(mk):
+                hit = mk[idx] == canon
+                counts = np.where(hit, mc[idx], 0).astype(np.uint32)
+            else:
+                counts = np.zeros(len(canon), np.uint32)
+        else:
+            counts = np.asarray(self.view.table.lookup_directional(canon))
         counts[counts < self.threshold] = 0
         return counts
 
     def _prefetch(self, roots: np.ndarray) -> None:
         res = self.view.table.reach(roots, self.threshold, self.depth)
         if res is None:
-            log.debug(
-                "prefetch overflow at threshold %d: falling back to "
-                "per-wave device lookups", self.threshold,
-            )
             self._dead = True
+            try:
+                small = self.view.table.n_unique() <= 256_000_000
+            except Exception:
+                small = False
+            if small:
+                log.debug(
+                    "prefetch overflow at threshold %d: falling back to "
+                    "the shared host mirror", self.threshold,
+                )
+                self._fallback_mirror = self.view._get_mirror()
+            else:
+                log.debug(
+                    "prefetch overflow at threshold %d: falling back to "
+                    "per-wave device lookups", self.threshold,
+                )
             return
         self.n_prefetches += 1
         self.device_iters += res.iters

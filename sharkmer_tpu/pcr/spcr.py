@@ -152,6 +152,14 @@ def do_pcr(
     found_path_signal = False
     current_graph = seed_graph.clone()
 
+    # NOTE: each step gets its OWN lookup session at the step's
+    # threshold (created inside extend_graph). Sharing one session at
+    # the schedule's lowest threshold is semantically valid (the floor
+    # closure is a superset) but disastrous in practice: at the floor
+    # the closure explores the whole above-floor background component
+    # (never quiescing, overflowing the frontier ladder), while a
+    # step-threshold closure stays confined to the amplicon's
+    # high-coverage neighbourhood and quiesces in ~len/2 levels.
     for step_idx, min_count in enumerate(coverage_thresholds):
         log.info(
             "[%s] Threshold step %d/%d (min_count=%d)",
