@@ -3,28 +3,41 @@
 Prints ONE JSON line:
   {"metric": "kmers_per_sec_per_chip", "value": N, "unit": "kmer/s",
    "vs_baseline": N, "spcr_wall_s": S, "spcr_genes_ok": G,
-   "mirror_export_s": M, "e2e_wall_s": E, "e2e_vs_baseline": R}
+   "mirror_export_s": M, "e2e_wall_s": E, "e2e_vs_baseline": R,
+   "e2e_8m_wall_s": E8, "e2e_8m_vs_baseline": R8, ...}
 
 Baseline: the reference counts 131,779,117 k-mer events from 1M
 150bp reads in 22.5 s wall INCLUDING its full 7-gene cnidaria sPCR
-pass, on an aarch64 12-core at 8 threads — 5.857e6 kmer/s
-(BASELINE.md, benchmarks/benchmark_results/cnidaria_*:23,110-112).
+pass (169.1 s at 8M reads), on an aarch64 12-core at 8 threads —
+5.857e6 kmer/s (BASELINE.md, benchmarks/benchmark_results/
+cnidaria_*:23,110-112,302).
 
 The default (sorted backend) run reproduces that workload shape:
 1M synthetic 150bp reads at ~7.5x coverage over a genome with the
-cnidaria panel's 7 amplicons embedded, k=21. "value" times the core
+cnidaria panel's 7 amplicons embedded, k=21, **with 1% per-base
+substitution errors** — the reference's numbers come from real ENA
+reads, and error k-mers inflate the unique-key load ~5x and create
+the tips/bubbles the pruning machinery exists for, so an error-free
+bench materially understates the workload. "value" times the core
 count loop (encode + drain + merges + final spectrum); spcr_wall_s
-times the full 7-gene panel through run_pcr against the built table
-(host-mirror mode — the deployment default); mirror_export_s is the
-device->host full-table transfer that mode pays once; e2e_wall_s is
-count + sPCR, the honest end-to-end figure vs the reference's 22.5 s
-(e2e_vs_baseline = 22.5 / e2e_wall_s).
+times the full 7-gene panel through run_pcr against the built table;
+mirror_export_s is the one-time sPCR index/export prep; e2e_wall_s is
+count + prep + sPCR vs the reference's 22.5 s. A second timed config
+at 8M reads (the reference's largest committed row, 169.1 s) reports
+e2e_8m_wall_s / e2e_8m_vs_baseline.
+
+Process layout: a thin orchestrator (no JAX) spawns the measured run
+as one subprocess, then a --cache-evidence subprocess that replays
+the warmup stages in a FRESH process and reports persistent
+compile-cache hits/misses and the warm-process warmup wall.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -38,7 +51,10 @@ def _stage(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 BASELINE_KMERS_PER_SEC = 131_779_117 / 22.5
-BASELINE_E2E_WALL_S = 22.5  # reference: 1M-read cnidaria run, count+sPCR
+BASELINE_E2E_WALL_S = 22.5   # reference: 1M-read cnidaria run, count+sPCR
+BASELINE_E2E_8M_WALL_S = 169.1  # reference: same panel at 8M reads
+
+GEN_SLAB = 1_000_000  # reads generated per host slab (bounds peak RAM)
 
 
 def make_genome_codes(genome_mbp: float, seed: int = 0,
@@ -81,30 +97,37 @@ def make_genome_codes(genome_mbp: float, seed: int = 0,
 
 def make_reads_codes(n_reads: int, read_len: int, genome_mbp: float,
                      seed: int = 0, panel: str | None = None,
-                     error_rate: float = 0.0):
+                     error_rate: float = 0.01):
     """Reads as uint8 code batches sliced straight out of a code genome.
 
     ``error_rate`` injects uniform random substitution errors per base
     (Illumina-like ~0.3-1%), the workload shape the reference's real
-    ENA benchmarks have: error k-mers inflate the unique-key load ~5x
-    and create the tips/bubbles the pruning machinery exists for."""
+    ENA benchmarks have. Reads are generated in GEN_SLAB slabs so the
+    error-mask temporaries never exceed ~1 GB even at 8M reads."""
     rng = np.random.default_rng(seed)
     genome = make_genome_codes(genome_mbp, seed, panel)
-    starts = rng.integers(0, len(genome) - read_len, size=n_reads)
-    idx = starts[:, None] + np.arange(read_len)[None, :]
-    reads = genome[idx]
-    if error_rate > 0.0:
-        err = rng.random(reads.shape) < error_rate
-        # substitute with a DIFFERENT base: add 1..3 mod 4
-        shift = rng.integers(1, 4, size=reads.shape, dtype=np.uint8)
-        reads = np.where(err, (reads + shift) % 4, reads).astype(np.uint8)
-    return reads
+    out = np.empty((n_reads, read_len), np.uint8)
+    col = np.arange(read_len)[None, :]
+    for s in range(0, n_reads, GEN_SLAB):
+        n = min(GEN_SLAB, n_reads - s)
+        starts = rng.integers(0, len(genome) - read_len, size=n)
+        reads = genome[starts[:, None] + col]
+        if error_rate > 0.0:
+            err = rng.random(reads.shape) < error_rate
+            # substitute with a DIFFERENT base: add 1..3 mod 4
+            shift = rng.integers(1, 4, size=reads.shape, dtype=np.uint8)
+            reads = np.where(err, (reads + shift) % 4, reads).astype(np.uint8)
+        out[s : s + n] = reads
+    return out
 
 
 def build_parser() -> argparse.ArgumentParser:
     """Shared by profile_spcr.py so profiles track bench defaults."""
     parser = argparse.ArgumentParser()
     parser.add_argument("--reads", type=int, default=1_000_000)
+    parser.add_argument("--reads-large", type=int, default=8_000_000,
+                        help="second timed config (0 disables); the "
+                             "reference's largest committed row")
     parser.add_argument("--read-len", type=int, default=150)
     parser.add_argument("--k", type=int, default=21)
     parser.add_argument("--genome-mbp", type=float, default=20.0)
@@ -116,7 +139,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="panel whose amplicons are embedded + amplified")
     parser.add_argument("--threads", type=int, default=4,
                         help="gene-level sPCR thread pool")
-    parser.add_argument("--error-rate", type=float, default=0.0,
+    parser.add_argument("--error-rate", type=float, default=0.01,
                         help="per-base sequencing-error rate for the reads")
     parser.add_argument("--mirror", choices=["auto", "full", "device"],
                         default="auto",
@@ -124,6 +147,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "reach-prefetch, full = host mirror export)")
     parser.add_argument("--quick", action="store_true",
                         help="small shapes for smoke testing")
+    parser.add_argument("--inner", action="store_true",
+                        help="(internal) run the measured bench itself")
+    parser.add_argument("--cache-evidence", action="store_true",
+                        help="(internal) replay warmup in a fresh "
+                             "process, report compile-cache hits")
+    parser.add_argument("--no-evidence", action="store_true",
+                        help="skip the second-process cache-evidence run")
     return parser
 
 
@@ -132,20 +162,45 @@ def main():
     if args.quick:
         args.reads, args.batch = 50_000, 1 << 14
         args.capacity, args.genome_mbp = 1 << 22, 1.0
-    return run_bench(args)
+        args.reads_large = 0
+    if args.cache_evidence:
+        return run_cache_evidence(args)
+    if args.inner:
+        return run_bench(args)
+    # orchestrator: never touches JAX, so the measured subprocess and
+    # the cache-evidence subprocess each get the device exclusively
+    argv = [a for a in sys.argv[1:] if a != "--no-evidence"]
+    rc = subprocess.call([sys.executable, __file__, "--inner", *argv])
+    if rc != 0:
+        sys.exit(rc)
+    if not (args.quick or args.no_evidence):
+        _stage("cache evidence: fresh-process warmup replay")
+        subprocess.call([sys.executable, __file__, "--cache-evidence", *argv])
 
 
-def run_bench(args):
-    """Benchmark through the production store (sorted backend default,
-    open-addressing hash backend with --backend hash): encode +
-    aggregation + merges + final spectrum, then the full cnidaria sPCR
-    panel against the built table. Warmup pass compiles every count
-    shape, then the timed pass reruns the identical sequence on a
-    fresh store."""
-    import tempfile
+def _count_cache_events():
+    """Attach a counting handler to the persistent-cache log channel.
+    Returns the mutable counter dict {hits, writes}."""
+    import logging
 
-    import jax.numpy as jnp
+    counts = {"hits": 0, "writes": 0}
 
+    class _H(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "Persistent compilation cache hit" in msg:
+                counts["hits"] += 1
+            elif "persistent compilation cache" in msg:
+                counts["writes"] += 1
+
+    lg = logging.getLogger("jax._src.compiler")
+    lg.setLevel(logging.DEBUG)
+    lg.addHandler(_H())
+    lg.propagate = False  # count quietly: keep DEBUG spam off stderr
+    return counts
+
+
+def _make_store_factory(args):
     if args.backend == "sorted":
         from sharkmer_tpu.ops.sorted_store import SortedKmerStore
 
@@ -156,72 +211,64 @@ def run_bench(args):
 
         def make_store():
             return KmerTable.create(args.k, capacity=args.capacity)
+    return make_store
 
-    k = args.k
+
+def _build_batches(args, n_reads: int, seed: int = 0):
+    import jax.numpy as jnp
+
     codes_all = make_reads_codes(
-        args.reads, args.read_len, args.genome_mbp, panel=args.panel,
-        error_rate=args.error_rate,
+        n_reads, args.read_len, args.genome_mbp, seed=seed,
+        panel=args.panel, error_rate=args.error_rate,
     )
-    n_batches = -(-args.reads // args.batch)
-    pad = n_batches * args.batch - args.reads
+    n_batches = -(-n_reads // args.batch)
+    pad = n_batches * args.batch - n_reads
     if pad:
         codes_all = np.concatenate(
             [codes_all, np.full((pad, args.read_len), 5, np.uint8)]
         )
-
-    batches = [
+    return [
         jnp.asarray(codes_all[b * args.batch : (b + 1) * args.batch])
         for b in range(n_batches)
-    ]
-    kmers_per_batch = args.batch * (args.read_len - k + 1)
+    ], n_batches
+
+
+def _one_pass(make_store, batches):
+    store = make_store()
+    for codes in batches:
+        # SortedKmerStore mutates and returns self; KmerTable is
+        # functional and returns the updated table — rebind for both
+        store = store.ingest_codes(codes)
+    if hasattr(store, "flush"):
+        store.flush()
+    histo = store.histogram(10_000)
+    return store, int(np.sum(histo))
+
+
+def _spcr_phase(args, store, n_reads: int):
+    """sPCR prep + full panel against ``store``. Returns
+    (prep_wall, spcr_wall, genes_ok, n_genes)."""
+    import tempfile
 
     from sharkmer_tpu.pcr.counts import FilteredTable
-
-    def one_pass():
-        store = make_store()
-        for codes in batches:
-            # SortedKmerStore mutates and returns self; KmerTable is
-            # functional and returns the updated table — rebind for both
-            store = store.ingest_codes(codes)
-        if hasattr(store, "flush"):
-            store.flush()
-        histo = store.histogram(10_000)
-        return store, int(np.sum(histo))
-
-    # warmup: compiles every kernel shape the timed passes will hit —
-    # the count sequence AND the sPCR-prep (index/export) kernels
-    _stage("warmup: count pass (compiles)")
-    warm_store, _ = one_pass()
-    _stage(f"warmup: sPCR prep, mode={args.mirror} (compiles)")
-    FilteredTable(warm_store, min_count=2, mode=args.mirror).warm_caches()
-    del warm_store
-    _stage("timed: count pass")
-    t0 = time.perf_counter()
-    store, n_unique = one_pass()
-    count_wall = time.perf_counter() - t0
-    total_kmers = n_batches * kmers_per_batch
-    assert n_unique > 0
-
-    # ---- sPCR stage (the reference's 22.5 s includes this) ----------------
+    from sharkmer_tpu.pcr.graph import compute_node_budget
     from sharkmer_tpu.pcr.panels import get_panel
     from sharkmer_tpu.stats import run_pcr
 
     panel_params = get_panel(args.panel)
-    _stage(f"timed: sPCR prep (mode={args.mirror})")
     t0 = time.perf_counter()
     filtered = FilteredTable(store, min_count=2, mode=args.mirror)
     # one-time device index build (auto) or full device->host export
     # (full); reported as mirror_export_s for round-over-round
     # comparability
     filtered.warm_caches()
-    mirror_export_s = time.perf_counter() - t0
+    prep_wall = time.perf_counter() - t0
 
     # same dynamic node budget the CLI resolves (graph.rs:40-52)
-    from sharkmer_tpu.pcr.graph import compute_node_budget
-
-    max_nodes = compute_node_budget(args.reads * args.read_len)
+    max_nodes = compute_node_budget(n_reads * args.read_len)
     with tempfile.TemporaryDirectory() as outdir:
-        _stage(f"timed: sPCR panel (node budget {max_nodes})")
+        _stage(f"timed: sPCR panel, {n_reads} reads "
+               f"(node budget {max_nodes})")
         t0 = time.perf_counter()
         results = run_pcr(
             filtered, panel_params, "bench", outdir + "/",
@@ -229,20 +276,128 @@ def run_bench(args):
         )
         spcr_wall = time.perf_counter() - t0
     genes_ok = sum(1 for r in results if r.status == "success")
+    for r in results:
+        tag = "+" if r.status == "success" else "-"
+        _stage(f"  {tag} {r.gene_name} ({len(r.product_lengths)} "
+               f"product(s) {r.product_lengths})")
+    return prep_wall, spcr_wall, genes_ok, len(panel_params)
+
+
+def run_bench(args):
+    """The measured pass (subprocess): warmup compiles every count +
+    sPCR-prep shape, then the timed 1M config and the timed 8M config
+    run back to back through the production store."""
+    make_store = _make_store_factory(args)
+    counters = _count_cache_events()
+
+    _stage(f"generating {args.reads} reads "
+           f"(error rate {args.error_rate})")
+    batches, n_batches = _build_batches(args, args.reads)
+    kmers_per_batch = args.batch * (args.read_len - args.k + 1)
+
+    from sharkmer_tpu.pcr.counts import FilteredTable
+
+    # warmup: compiles every kernel shape the timed passes will hit —
+    # the count sequence AND the sPCR-prep (index/export) kernels
+    _stage("warmup: count pass (compiles)")
+    warm_store, _ = _one_pass(make_store, batches)
+    _stage(f"warmup: sPCR prep, mode={args.mirror} (compiles)")
+    FilteredTable(warm_store, min_count=2, mode=args.mirror).warm_caches()
+    del warm_store
+    warmup_wall = time.perf_counter() - _T0
+    _stage(f"warmup done ({counters['hits']} persistent-cache hits, "
+           f"{counters['writes']} writes)")
+
+    _stage("timed: count pass")
+    t0 = time.perf_counter()
+    store, n_unique = _one_pass(make_store, batches)
+    count_wall = time.perf_counter() - t0
+    total_kmers = n_batches * kmers_per_batch
+    assert n_unique > 0
+    del batches
+
+    _stage(f"timed: sPCR prep (mode={args.mirror})")
+    prep_wall, spcr_wall, genes_ok, n_genes = _spcr_phase(
+        args, store, args.reads
+    )
+    del store
 
     kmers_per_sec = total_kmers / count_wall
-    e2e_wall = count_wall + mirror_export_s + spcr_wall
-    print(json.dumps({
+    e2e_wall = count_wall + prep_wall + spcr_wall
+    result = {
         "metric": "kmers_per_sec_per_chip",
         "value": round(kmers_per_sec),
         "unit": "kmer/s",
         "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
+        "error_rate": args.error_rate,
         "spcr_wall_s": round(spcr_wall, 2),
-        "spcr_genes_ok": f"{genes_ok}/{len(panel_params)}",
-        "mirror_export_s": round(mirror_export_s, 2),
+        "spcr_genes_ok": f"{genes_ok}/{n_genes}",
+        "mirror_export_s": round(prep_wall, 2),
         "e2e_wall_s": round(e2e_wall, 2),
         "e2e_vs_baseline": round(BASELINE_E2E_WALL_S / e2e_wall, 3),
-    }))
+        "warmup_wall_s": round(warmup_wall, 1),
+    }
+
+    # ---- 8M-read row (the reference's largest committed config) ----------
+    if args.reads_large:
+        _stage(f"generating {args.reads_large} reads")
+        batches8, n_batches8 = _build_batches(args, args.reads_large)
+        _stage("timed: count pass (8M)")
+        t0 = time.perf_counter()
+        store8, n_unique8 = _one_pass(make_store, batches8)
+        count8_wall = time.perf_counter() - t0
+        del batches8
+        total8 = n_batches8 * kmers_per_batch
+        _stage(f"timed: sPCR prep+panel (8M, {n_unique8} unique)")
+        prep8, spcr8, genes_ok8, _ = _spcr_phase(
+            args, store8, args.reads_large
+        )
+        del store8
+        e2e8 = count8_wall + prep8 + spcr8
+        result.update({
+            "kmers_per_sec_8m": round(total8 / count8_wall),
+            "spcr_8m_wall_s": round(prep8 + spcr8, 2),
+            "spcr_8m_genes_ok": f"{genes_ok8}/{n_genes}",
+            "e2e_8m_wall_s": round(e2e8, 2),
+            "e2e_8m_vs_baseline": round(BASELINE_E2E_8M_WALL_S / e2e8, 3),
+        })
+
+    print(json.dumps(result))
+
+
+def run_cache_evidence(args):
+    """Fresh-process warmup replay: every stage below was compiled by
+    the measured subprocess moments ago, so a healthy persistent cache
+    serves ALL of it as cache hits. Reports per-stage walls and the
+    hit/write counts (BENCH stderr tail carries the evidence)."""
+    counters = _count_cache_events()
+    make_store = _make_store_factory(args)
+    from sharkmer_tpu.pcr.counts import FilteredTable
+
+    t0 = time.perf_counter()
+    batches, _ = _build_batches(args, args.reads)
+    gen_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    store, _ = _one_pass(make_store, batches)
+    count_wall = time.perf_counter() - t0
+    _stage(f"evidence: count warmup {count_wall:.1f}s "
+           f"({counters['hits']} cache hits, {counters['writes']} writes)")
+
+    hits0 = counters["hits"]
+    t0 = time.perf_counter()
+    FilteredTable(store, min_count=2, mode=args.mirror).warm_caches()
+    prep_wall = time.perf_counter() - t0
+    _stage(f"evidence: sPCR-prep warmup {prep_wall:.1f}s "
+           f"({counters['hits'] - hits0} cache hits)")
+
+    warm = count_wall + prep_wall
+    verdict = "OK (<30s)" if warm < 30 else "SLOW (>=30s)"
+    _stage(
+        f"evidence: second-process warmup {warm:.1f}s excl. "
+        f"{gen_wall:.1f}s host datagen — {verdict}; persistent cache: "
+        f"{counters['hits']} hits, {counters['writes']} writes"
+    )
 
 
 if __name__ == "__main__":

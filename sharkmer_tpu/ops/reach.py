@@ -36,10 +36,14 @@ Binary search over a 2^25-row partition costs 25 scattered gathers
 (measured 10.7 ms per loop iteration — unusable). Instead each
 partition gets a one-time *bucket LUT* sidecar: ``lut[b]`` = first row
 whose key's top B bits equal b (built with one sort + one small
-scatter, ~0.3 s). A probe is then 2 LUT gathers + two *contiguous*
-32-row block reads + vector compares — ~5 scattered accesses per
-candidate, with a masked widen-loop for the rare overfull bucket
-(low-complexity repeat families).
+scatter, ~0.3 s). A probe is then 2 LUT gathers + a fixed number of
+*contiguous* 32-row block reads + vector compares — ~5 scattered
+accesses per candidate. ``build_sidecar`` raises the LUT bits until
+every bucket fits the default two-block probe window; if a bucket
+still overflows at the bits cap (dense low-complexity key clusters,
+or tables beyond ~2 G unique rows), the sidecar records a wider
+power-of-two ``probe_blocks`` and the kernel compiles with that wider
+fixed window instead — counts stay exact at any occupancy.
 
 Visited-set membership inside the loop is a **bitmap over global row
 ids** (one u32 word per 32 table rows): the test is one scattered
@@ -162,6 +166,9 @@ class PartSidecar:
     # the in-loop probe then gathers ONE block array for both the key
     # compare and the (saturating-exact) threshold test
     packed2d: jax.Array | None = None
+    # fixed probe-window width in BLOCK-row blocks: 2 except when a
+    # bucket overflows the two-block window at the LUT bits cap
+    probe_blocks: int = 2
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -187,18 +194,16 @@ def build_sidecar(part_keys, part_counts, k: int) -> PartSidecar:
         if int(max_occ) <= BLOCK or bits >= cap:
             break
         bits += 1
-    if int(max_occ) > BLOCK + 1:
-        # the two-block window starting at the bucket's first block
-        # always covers >= BLOCK+1 rows from the bucket start (worst
-        # alignment: s % 32 == 31 leaves 64 - 31 = 33 covered rows).
-        # Exceeding that at the bits cap would make probes miss rows —
-        # practically unreachable (at the cap a bucket spans at most a
-        # tiny key range of UNIQUE keys), so refuse loudly rather than
-        # serve wrong counts
-        raise ValueError(
-            f"bucket occupancy {int(max_occ)} exceeds probe window at "
-            f"bits cap {cap} (k={k})"
-        )
+    # a W-block window starting at the bucket's first block covers at
+    # least 32*W - 31 rows from the bucket start (worst alignment:
+    # s % 32 == 31). Overfull buckets at the bits cap (dense
+    # low-complexity key clusters, or tables beyond ~2 G unique rows)
+    # therefore get a wider fixed window instead of a hard failure;
+    # probe_blocks stays a power of two so the reach kernel compiles a
+    # bounded set of window shapes.
+    probe_blocks = 2
+    while int(max_occ) > BLOCK * probe_blocks - (BLOCK - 1):
+        probe_blocks *= 2
     pad = (-n_slots) % BLOCK
     if pad:  # partition widths are powers of two >= 64, so this is moot
         part_keys = jnp.concatenate(
@@ -216,6 +221,7 @@ def build_sidecar(part_keys, part_counts, k: int) -> PartSidecar:
         keys2d=part_keys.reshape(-1, BLOCK),
         counts2d=part_counts.reshape(-1, BLOCK),
         lut=lut, bits=bits, shift=shift, packed2d=packed2d,
+        probe_blocks=probe_blocks,
     )
 
 
@@ -338,11 +344,13 @@ def range_scan_part(part_keys, part_counts, rc_sorted, rc_order, n: int,
     jax.jit,
     static_argnames=(
         "k", "depth", "f_cap", "f_narrow", "n_words", "bases", "packed",
+        "probe_w",
     ),
 )
 def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
                   k: int, depth: int, f_cap: int, f_narrow: int,
-                  n_words: int, bases: tuple, packed: bool):
+                  n_words: int, bases: tuple, packed: bool,
+                  probe_w: int = 2):
     """Depth-capped 8-neighbour closure over the partitioned table.
 
     keys2d/counts2d/luts: tuples of per-partition sidecar arrays (when
@@ -371,8 +379,9 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
 
     def lookup(cand):
         """(global row id | INF) per candidate k-mer. One fixed
-        two-block window per candidate: build_sidecar guarantees every
-        bucket's occupancy fits it (no widen retries in the loop)."""
+        ``probe_w``-block window per candidate: build_sidecar records
+        the window that covers each partition's max bucket occupancy
+        (no widen retries in the loop)."""
         ids = jnp.full(cand.shape, inf)
         for k2d, c2d, lut, shift, base in zip(
             keys2d, counts2d, luts, shifts, bases
@@ -386,10 +395,13 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
             j0 = (s >> 5).astype(jnp.int64)  # BLOCK = 32
             live = (cand != jnp.uint64(EMPTY)) & (e > s)
             jb = jnp.minimum(j0, k2d.shape[0] - 1)
-            jb2 = jnp.minimum(j0 + 1, k2d.shape[0] - 1)
-            blk = jnp.concatenate([k2d[jb], k2d[jb2]], axis=-1)
+            jbs = [
+                jnp.minimum(j0 + w, k2d.shape[0] - 1)
+                for w in range(probe_w)
+            ]
+            blk = jnp.concatenate([k2d[j] for j in jbs], axis=-1)
             rows = (jb * BLOCK)[:, None] + jnp.arange(
-                2 * BLOCK, dtype=jnp.int64
+                probe_w * BLOCK, dtype=jnp.int64
             )[None, :]
             valid = (rows >= s[:, None]) & (rows < e[:, None])
             if packed:
@@ -397,7 +409,7 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
                 above = (blk >> jnp.uint64(2 * k)) >= min_count
                 hit = valid & key_eq & above & live[:, None]
             else:
-                cblk = jnp.concatenate([c2d[jb], c2d[jb2]], axis=-1)
+                cblk = jnp.concatenate([c2d[j] for j in jbs], axis=-1)
                 hit = (
                     valid & (blk == cand[:, None]) & live[:, None]
                     & (cblk >= min_count)
@@ -584,6 +596,7 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
     )
     n_rows_total = sum(int(s.keys2d.shape[0]) * BLOCK for s in sidecars)
     n_words = max(64, -(-n_rows_total // 32))
+    probe_w = max((s.probe_blocks for s in sidecars), default=2)
 
     out_k: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
@@ -606,6 +619,7 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
                 keys2d, counts2d, luts, shifts, jnp.asarray(c0),
                 jnp.uint32(max(min_count, 1)), k, depth, cur_f,
                 min(cur_n, cur_f), n_words, bases, packed,
+                probe_w=probe_w,
             )
             sc = np.asarray(scalars)  # the call's ONE device sync
             n_vis, it = int(sc[0]), int(sc[1])

@@ -157,7 +157,13 @@ class FilteredTable:
                         warm_mc, depth=self.prefetch_depth,
                     )
                 except Exception:  # pragma: no cover - best-effort
-                    log.debug("reach warmup failed", exc_info=True)
+                    # a silent warmup failure pushes a tens-of-seconds
+                    # kernel compile into the first gene's wall time:
+                    # surface it where default logging shows it
+                    log.warning(
+                        "reach warmup failed (first gene will pay the "
+                        "closure-kernel compile)", exc_info=True,
+                    )
         elif mode == "full":
             self._get_mirror()
 

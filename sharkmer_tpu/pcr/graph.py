@@ -268,12 +268,12 @@ def extend_graph(
     Returns (graph, node_lookup, found_path). found_path = forward and
     reverse extension frontiers met.
 
-    ``lookup``: optional lookup provider. do_pcr passes one
-    PrefetchSession at the schedule's LOWEST threshold shared across
-    all threshold steps — the device closure at the floor is a
-    superset of every higher step's closure, so one prefetch serves
-    the whole sweep (the walk filters candidates at its own step
-    threshold either way).
+    ``lookup``: optional lookup-provider injection point (tests, and
+    callers that want to share a pre-warmed cache). Production do_pcr
+    passes None: each threshold step builds its OWN session at the
+    step's threshold inside this function — see the NOTE in
+    pcr/spcr.py for why sharing one floor-threshold session across
+    steps was tried and rejected.
     """
     k = counts.k
     suffix_mask = get_suffix_mask(k)

@@ -92,8 +92,10 @@ class PrefetchSession:
         res = self.view.table.reach(roots, self.threshold, self.depth)
         if res is None:
             self._dead = True
+            from .counts import MIRROR_MAX_UNIQUE
+
             try:
-                small = self.view.table.n_unique() <= 256_000_000
+                small = self.view.table.n_unique() <= MIRROR_MAX_UNIQUE
             except Exception:
                 small = False
             if small:

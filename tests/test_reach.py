@@ -147,6 +147,40 @@ def test_reach_multi_partition():
     assert set(res.keys.tolist()) == oracle
 
 
+def test_reach_overfull_bucket_wide_probe():
+    """A dense cluster of contiguous keys can exceed the two-block
+    probe window even at the LUT bits cap (26 bits at k=21 leaves
+    2^16-key buckets). build_sidecar must widen probe_blocks instead
+    of failing, and lookups in the overfull bucket must stay exact."""
+    from sharkmer_tpu.ops import reach as reach_mod
+
+    k = 21
+    # 200 contiguous keys inside ONE cap-width bucket (bucket width
+    # 2^(2k-26) = 2^16; base is bucket-aligned). Small keys are
+    # canonical at k=21 (their revcomp has high bits set).
+    base = 5 << 16
+    cluster = np.arange(base, base + 200, dtype=np.uint64)
+    scattered = (np.arange(40, dtype=np.uint64) + 1) << np.uint64(22)
+    keys = np.concatenate([cluster, scattered])
+    counts = np.full(keys.shape, 7, np.uint32)
+    counts[:50] = 2  # below the threshold used below
+
+    store = SortedKmerStore.create(k)
+    store.insert_kmers(keys, counts)
+    store.prepare_spcr()
+    sidecars, _rc, _bases = store._spcr_index()
+    assert max(s.probe_blocks for s in sidecars) > 2
+
+    res = store.reach(cluster, min_count=3, depth=2)
+    assert res is not None
+    expected = set(cluster[50:].tolist())  # counts >= 3 only
+    assert expected.issubset(set(res.keys.tolist()))
+    got = dict(zip(res.keys.tolist(), res.counts.tolist()))
+    for kk in expected:
+        assert got[kk] == 7
+    assert not (set(cluster[:50].tolist()) & set(res.keys.tolist()))
+
+
 def test_reach_bubble_and_cycle_convergence():
     """Bubbles (SNP between repeated segments) and short cycles
     (tandem repeat) must converge, not loop forever."""
