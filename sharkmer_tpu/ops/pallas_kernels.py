@@ -26,6 +26,17 @@ HBM. Here it is ONE Pallas pass plus a trivial stitch:
 
 Used only on TPU for large drains; the XLA ``cummax`` formulation
 remains the fallback (and the differential oracle in tests).
+
+``stitch_rows`` is the drain's other Pallas kernel: after the
+compaction step is restructured as a BATCHED row sort (jax.lax.sort
+over [R, W] rows is ~2x the flat-sort throughput at W = 2^16 on the
+target chip — fewer bitonic levels), each row holds its survivors
+front-compacted with a sentinel tail, and the global compact run is
+produced by concatenating the R occupied prefixes. That concatenation
+is R HBM->HBM DMAs at prefix-sum offsets, issued by a sequential grid
+in ascending-offset order: each row writes its FULL static-width row
+at its offset, and the next row's write overwrites the previous row's
+sentinel tail — variable-length copies without dynamic DMA shapes.
 """
 
 from __future__ import annotations
@@ -180,3 +191,88 @@ if HAVE_PALLAS:
             [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(tile_max)[:-1]]
         )
         return jnp.maximum(local, carry[:, None]).reshape(-1)
+
+    # 1D u32 arrays are HBM-tiled in 1024-element tiles; DMA slice
+    # offsets must be provably tile-divisible
+    STITCH_ALIGN = 1024
+
+    def _make_stitch_kernel(w: int):
+        def _stitch_kernel(offs_ref, rows_ref, _init_ref, out_ref, sem):
+            r = pl.program_id(0)
+            off = pl.multiple_of(offs_ref[r], STITCH_ALIGN)
+            cp = pltpu.make_async_copy(
+                rows_ref.at[pl.ds(r * w, w)],
+                out_ref.at[pl.ds(off, w)],
+                sem,
+            )
+            cp.start()
+            # wait before the grid advances: the NEXT row's window
+            # overlaps this row's sentinel tail, and correctness relies
+            # on ascending write order (later rows overwrite earlier
+            # tails)
+            cp.wait()
+        return _stitch_kernel
+
+    @functools.partial(
+        jax.jit, donate_argnums=(2,), static_argnames=("w", "interpret")
+    )
+    def _stitch_call(rows_flat, offsets, out_init, w: int,
+                     interpret: bool = False):
+        return pl.pallas_call(
+            _make_stitch_kernel(w),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(rows_flat.shape[0] // w,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                          pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                scratch_shapes=[pltpu.SemaphoreType.DMA],
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                rows_flat.shape, rows_flat.dtype
+            ),
+            input_output_aliases={2: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(offsets, rows_flat, out_init)
+
+    def stitch_rows(rows, offsets, fill, interpret: bool = False):
+        """Concatenate each row's occupied prefix into one flat array.
+
+        ``rows``: [R, W]; row r holds ``cnt_r`` live elements
+        front-compacted, then ``fill`` padding; ``offsets`` [R] is the
+        exclusive prefix sum of the counts. Counts (and hence offsets)
+        MUST be multiples of STITCH_ALIGN u32 elements — 512 for u64
+        rows (HBM tile divisibility of DMA slices). Returns [R*W]
+        with the concatenated prefixes at the front and ``fill``
+        behind — the drain's variable-length concat as R ordered
+        full-row DMAs.
+
+        u64 arrays are DMA'd as separate lo/hi u32 PLANES sharing the
+        offsets (the deployment backend's X64-rewrite pass cannot
+        rewrite custom calls with u64 operands, and a [R, W, 2] u32
+        bitcast view tiles its unit axis to 128 — a 64x HBM blowup).
+        For u64 rows the counts/offsets must therefore be multiples of
+        STITCH_ALIGN (1024) in u64 elements. The fill's two u32 halves
+        must agree (the sentinel's do).
+        """
+        R, W = rows.shape
+        offsets = offsets.astype(jnp.int32)
+        if rows.dtype == jnp.uint64:
+            fill32 = jnp.asarray(fill, jnp.uint64).astype(jnp.uint32)
+            planes = []
+            for plane in (
+                rows.astype(jnp.uint32),
+                (rows >> jnp.uint64(32)).astype(jnp.uint32),
+            ):
+                init = jnp.full((R * W,), fill32, dtype=jnp.uint32)
+                planes.append(
+                    _stitch_call(plane.reshape(-1), offsets, init, w=W,
+                                 interpret=interpret)
+                )
+            return (
+                planes[1].astype(jnp.uint64) << jnp.uint64(32)
+            ) | planes[0].astype(jnp.uint64)
+        out_init = jnp.full((R * W,), fill, dtype=rows.dtype)
+        return _stitch_call(rows.reshape(-1), offsets, out_init, w=W,
+                            interpret=interpret)

@@ -283,6 +283,101 @@ _aggregate_ingest_jit = functools.partial(
 )(_aggregate_ingest_impl)
 
 
+# Drain v2 row geometry: the compaction runs as a BATCHED row sort
+# ([R, 2^16] is ~2x the flat-sort throughput on the target chip — fewer
+# bitonic levels) followed by one DMA-stitch pass. Row survivor counts
+# are padded to GHOST_Q with zero-count duplicates of the row's last
+# key ("ghosts") so every stitch offset hits the HBM tile alignment;
+# ghosts are invisible to lookups (searchsorted-left lands on the live
+# entry), histograms (bin 0 is forced empty), scans (count-filtered)
+# and merges (the aggregate collapses them), and cost <= R*GHOST_Q/2
+# master slots (~1% at production widths).
+ROW_W = 1 << 16
+GHOST_Q = 1024  # u64 elements; = the stitch planes' 1024-u32 alignment
+
+
+def _aggregate_ingest_v2_impl(kmers, count_bits: int, interpret: bool):
+    """Fused drain with batched-row compaction (TPU path).
+
+    Same contract as ``_aggregate_ingest_impl`` plus ghost padding:
+    returns (keys, counts, n_padded, n_real) where the output's
+    occupied prefix is n_padded rows (live rows interleaved with
+    zero-count ghost duplicates), of which n_real carry counts.
+    """
+    from . import pallas_kernels
+
+    n = kmers.shape[0]
+    cb = jnp.uint64(count_bits)
+    cap = jnp.uint64((1 << count_bits) - 1)
+    sentinel = jnp.uint64(0xFFFF_FFFF_FFFF_FFFF)
+
+    sk = jax.lax.sort(kmers, is_stable=False)
+    run_start = pallas_kernels.run_starts(sk, interpret=interpret)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    last = jnp.concatenate([sk[:-1] != sk[1:], jnp.ones((1,), bool)])
+    run_total = (pos - run_start + 1).astype(jnp.uint32)
+    keep = last & (sk != jnp.uint64(EMPTY))
+
+    def _v2(_):
+        packed = jnp.where(
+            keep, (sk << cb) | run_total.astype(jnp.uint64), sentinel
+        )
+        rows = jax.lax.sort(
+            packed.reshape(-1, ROW_W), dimension=1, is_stable=False
+        )
+        R = rows.shape[0]
+        cnt = jnp.sum(rows != sentinel, axis=1, dtype=jnp.int32)
+        cntq = (cnt + (GHOST_Q - 1)) & ~(GHOST_Q - 1)
+        last_live = jnp.take_along_axis(
+            rows, jnp.maximum(cnt - 1, 0)[:, None].astype(jnp.int64),
+            axis=1,
+        )[:, 0]
+        ghost = (last_live >> cb) << cb  # same key, count 0
+        posw = jnp.arange(ROW_W, dtype=jnp.int32)[None, :]
+        rows = jnp.where(
+            (posw >= cnt[:, None]) & (posw < cntq[:, None]),
+            ghost[:, None], rows,
+        )
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cntq)[:-1]]
+        )
+        flat = pallas_kernels.stitch_rows(
+            rows, offs, sentinel, interpret=interpret
+        )
+        sent = flat == sentinel
+        out_k = jnp.where(sent, jnp.uint64(EMPTY), flat >> cb)
+        out_c = jnp.where(
+            sent, jnp.uint64(0), flat & cap
+        ).astype(jnp.uint32)
+        return (
+            out_k, out_c,
+            jnp.sum(cntq).astype(jnp.int64),
+            jnp.sum(cnt).astype(jnp.int64),
+        )
+
+    def _fallback_kv(_):
+        # a run total overflowed the packed count field (poly-A class
+        # repeats): exact kv-sort compaction, no ghosts
+        out_k = jnp.where(keep, sk, jnp.uint64(EMPTY))
+        out_c = jnp.where(keep, run_total, jnp.uint32(0))
+        out_k, out_c = jax.lax.sort(
+            (out_k, out_c), num_keys=1, is_stable=False
+        )
+        nu = jnp.sum(keep, dtype=jnp.int64)
+        return out_k, out_c, nu, nu
+
+    max_total = jnp.max(jnp.where(keep, run_total, jnp.uint32(0)))
+    return jax.lax.cond(
+        max_total.astype(jnp.uint64) < cap, _v2, _fallback_kv, None
+    )
+
+
+_aggregate_ingest_v2_jit = functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("count_bits", "interpret"),
+)(_aggregate_ingest_v2_impl)
+
+
 def _pallas_drain_enabled() -> bool:
     env = os.environ.get("SHARKMER_PALLAS_DRAIN")
     if env is not None:
@@ -291,24 +386,31 @@ def _pallas_drain_enabled() -> bool:
 
 
 def _aggregate_ingest_kernel(kmers, k: int = 0):
-    """Drain dispatch: the Pallas run-start kernel serves widths that
-    tile evenly (every production width — buffers are powers of two at
-    least 2^17); other widths and non-TPU platforms use the XLA cummax
-    formulation, which is also the differential oracle in tests. ``k``
-    (0 = unknown) enables the packed single-sort compaction when the
-    key fits 64 - 20 bits."""
+    """Drain dispatch. Returns (keys, counts, n_padded, n_real).
+
+    Production TPU widths (pow2 >= 2^23, packable k) take the v2 path:
+    Pallas run-starts + batched-row packed compaction + DMA stitch
+    (ghost-padded; see _aggregate_ingest_v2_impl). Smaller widths and
+    non-TPU platforms use the XLA cummax formulation with the global
+    compaction sort — also the differential oracle in tests. ``k``
+    (0 = unknown) enables the packed compactions when the key fits
+    64 - 20 bits."""
     from .pallas_kernels import HAVE_PALLAS, LANES
 
+    n = kmers.shape[0]
     tile = 256 * LANES
     use_pallas = (
-        HAVE_PALLAS
-        and kmers.shape[0] % tile == 0
-        and _pallas_drain_enabled()
+        HAVE_PALLAS and n % tile == 0 and _pallas_drain_enabled()
     )
     count_bits = 64 - 2 * k if k else 0
-    return _aggregate_ingest_jit(
+    if use_pallas and count_bits >= 20 and n >= ROW_W and n % ROW_W == 0:
+        return _aggregate_ingest_v2_jit(
+            kmers, count_bits=count_bits, interpret=False
+        )
+    uk, uc, nu = _aggregate_ingest_jit(
         kmers, use_pallas=use_pallas, count_bits=count_bits
     )
+    return uk, uc, nu, nu
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles",))
@@ -357,6 +459,11 @@ def _pad_to_kernel(keys, counts, width: int):
 @jax.jit
 def _searchsorted_kernel(keys, bounds):
     return jnp.searchsorted(keys, bounds)
+
+
+@jax.jit
+def _pack2_kernel(a, b):
+    return jnp.stack([a.astype(jnp.int64), b.astype(jnp.int64)])
 
 
 @functools.partial(jax.jit, static_argnames=("count_bits",))
@@ -674,8 +781,18 @@ def _export_part(keys, counts, n: int,
 class _Part:
     kmers: jax.Array  # sorted, sentinel-padded
     counts: jax.Array
-    n: int  # occupancy
+    n: int  # occupied slots (may include zero-count ghost rows)
     first_key: int  # lower bound of the partition's key range
+    # distinct live keys; -1 = not yet counted (drain-v2-seeded
+    # partitions hold ghost rows: count 0, duplicating their live
+    # predecessor's key; every merge collapses them). Counted lazily
+    # on device the first time stats ask.
+    n_real: int = -1
+
+    def real(self) -> int:
+        if self.n_real < 0:
+            self.n_real = int(jnp.sum(self.counts > jnp.uint32(0)))
+        return self.n_real
 
 
 @dataclass
@@ -798,7 +915,7 @@ class SortedKmerStore:
         return self._buf_cap
 
     def n_unique_master(self) -> int:
-        return sum(p.n for p in self.parts)
+        return sum(p.real() for p in self.parts)
 
     # -- flush / partition management ----------------------------------------
 
@@ -817,8 +934,11 @@ class SortedKmerStore:
         if width != self._buf_cap:
             buf = jax.lax.slice(buf, (0,), (width,))
         self._fill = 0
-        uk, uc, nu = _aggregate_ingest_kernel(buf, self.k)
-        nu = int(nu)  # one host sync per drain (drains are rare)
+        uk, uc, nu_p, nu_r = _aggregate_ingest_kernel(buf, self.k)
+        # one host sync per drain (drains are rare): both scalars ride
+        # one fetch
+        nus = np.asarray(_pack2_kernel(nu_p, nu_r))
+        nu = int(nus[0])  # occupied rows incl. ghost padding
         if nu == 0:
             return
         run_w = min(width, _next_pow2(nu))
@@ -920,7 +1040,7 @@ class SortedKmerStore:
             else:
                 nk = jax.lax.slice(mk, (0,), (width,))
                 nc = jax.lax.slice(mc, (0,), (width,))
-            new = _Part(nk, nc, mn, part.first_key)
+            new = _Part(nk, nc, mn, part.first_key, n_real=mn)
             self.parts[p_idx] = new
             return new
         # overfull: split at the budget midpoint. Both merge inputs hold
@@ -932,8 +1052,8 @@ class SortedKmerStore:
         rk = jax.lax.slice(mk, (W,), (2 * W,))
         rc_ = jax.lax.slice(mc, (W,), (2 * W,))
         right_first = int(np.asarray(rk[0:1])[0])
-        right = _Part(rk, rc_, mn - W, right_first)
-        self.parts[p_idx] = _Part(lk, lc, W, part.first_key)
+        right = _Part(rk, rc_, mn - W, right_first, n_real=mn - W)
+        self.parts[p_idx] = _Part(lk, lc, W, part.first_key, n_real=W)
         self.parts.insert(p_idx + 1, right)
         return right
 
@@ -1099,7 +1219,12 @@ class SortedKmerStore:
             pk, pc = _export_part(p.kmers, p.counts, p.n, min_count)
             keys.append(pk)
             counts.append(pc)
-        return np.concatenate(keys), np.concatenate(counts)
+        keys = np.concatenate(keys)
+        counts = np.concatenate(counts)
+        # drop zero-count ghost rows (drain-v2 stitch padding) so the
+        # mirror/dict surfaces only live entries
+        live = counts > 0
+        return keys[live], counts[live]
 
     def to_dict(self) -> dict[int, int]:
         keys, counts = self.to_sorted_arrays()

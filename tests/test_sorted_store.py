@@ -383,3 +383,72 @@ def test_scan_below_view_threshold_sees_subthreshold_rows():
             np.array([oligo], np.uint64), olen, min_count=1
         )
         assert sorted(got_c.tolist()) == [1, 5], mode
+
+
+def test_drain_v2_matches_v1_oracle():
+    """Drain v2 (batched-row compaction + DMA stitch, interpret mode)
+    must agree with the v1 XLA-cummax drain on live rows: same unique
+    keys, same exact counts, ghosts only as zero-count duplicates of
+    their live predecessor."""
+    import jax.numpy as jnp
+
+    from sharkmer_tpu.ops import sorted_store as ss
+
+    rng = np.random.default_rng(7)
+    n = ss.ROW_W * 2
+    # heavy duplication incl. runs spanning row boundaries
+    uniq = rng.integers(0, 1 << 42, size=n // 5, dtype=np.uint64)
+    raw = uniq[rng.integers(0, len(uniq), size=n)]
+    raw[: n // 64] = uniq[0]  # one massive run
+    raw[-1000:] = ss.EMPTY  # sentinel tail slack
+    k = 21
+
+    uk1, uc1, nu1 = ss._aggregate_ingest_jit(
+        jnp.asarray(raw), use_pallas=False, count_bits=64 - 2 * k
+    )
+    uk2, uc2, nu_p, nu_r = ss._aggregate_ingest_v2_jit(
+        jnp.asarray(raw), count_bits=64 - 2 * k, interpret=True
+    )
+    nu1, nu_p, nu_r = int(nu1), int(nu_p), int(nu_r)
+    assert nu_r == nu1
+    assert nu_p >= nu_r and nu_p % ss.GHOST_Q == 0
+
+    k1 = np.asarray(uk1)[:nu1]
+    c1 = np.asarray(uc1)[:nu1]
+    k2 = np.asarray(uk2)[:nu_p]
+    c2 = np.asarray(uc2)[:nu_p]
+    # sentinel tail after the padded prefix
+    assert np.all(np.asarray(uk2)[nu_p:] == ss.EMPTY)
+    # sorted including ghosts, live rows first within equal keys
+    assert np.all(np.diff(k2.astype(np.uint64)) >= 0)
+    live = c2 > 0
+    assert np.array_equal(k2[live], k1)
+    assert np.array_equal(c2[live], c1)
+    # every ghost duplicates an existing live key
+    ghosts = k2[~live]
+    assert np.all(np.isin(ghosts, k1))
+
+
+def test_drain_v2_store_end_to_end():
+    """A store forced onto the v2 drain path (interpret mode is not
+    reachable through the store, so exercise the ghost bookkeeping via
+    the public API with the fallback-compatible small widths)."""
+    import os
+
+    from sharkmer_tpu.ops import sorted_store as ss
+
+    # representative check of lookup/histogram semantics when ghost
+    # rows are present: build a partition by hand with a ghost row
+    import jax.numpy as jnp
+
+    keys = np.array([5, 9, 9, 12, ss.EMPTY], np.uint64)  # 9 ghosted
+    counts = np.array([3, 7, 0, 2, 0], np.uint32)
+    store = SortedKmerStore.create(21)
+    store.parts = [ss._Part(jnp.asarray(keys), jnp.asarray(counts), 4, 0)]
+    got = store.lookup(np.array([5, 9, 12, 13], np.uint64))
+    assert list(np.asarray(got)) == [3, 7, 2, 0]
+    h = store.histogram(10)
+    assert int(h.sum()) == 3  # ghost row contributes nothing
+    assert store.n_unique() == 3  # lazy real count skips the ghost
+    ks, cs = store.to_sorted_arrays()
+    assert list(ks) == [5, 9, 12] and list(cs) == [3, 7, 2]
