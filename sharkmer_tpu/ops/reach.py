@@ -340,25 +340,13 @@ def range_scan_part(part_keys, part_counts, rc_sorted, rc_order, n: int,
 # -- reachability closure ------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "depth", "f_cap", "f_narrow", "n_words", "bases", "packed",
-        "probe_w",
-    ),
-)
-def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
-                  k: int, depth: int, f_cap: int, f_narrow: int,
-                  n_words: int, bases: tuple, packed: bool,
-                  probe_w: int = 2):
-    """Depth-capped 8-neighbour closure over the partitioned table.
-
-    keys2d/counts2d/luts: tuples of per-partition sidecar arrays (when
-    ``packed``, keys2d holds the count-packed blocks and the threshold
-    test rides the same gather); shifts: per-partition LUT shifts;
-    bases: per-partition global row-id offsets. c0: the host wave's
-    candidate k-mers, EMPTY-padded. ``n_words``: visited-bitmap width
-    (total padded rows / 32).
+def _closure_run(lookup, c0, k: int, depth: int, f_cap: int,
+                 f_narrow: int, n_words: int):
+    """The closure state machine, shared by the single-chip and the
+    mesh-sharded reach kernels. ``lookup(cand) -> global row id | INF``
+    is the only backend-specific piece (partition-loop probes on one
+    chip; shard-local probes + a pmin combine on a mesh — every other
+    state tensor is replicated and deterministic across shards).
 
     The expansion runs in TWO phases: a wide loop at ``f_cap`` while
     the frontier is larger than ``f_narrow`` (the root level seeds up
@@ -368,58 +356,12 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     a walk carries only a handful of live walkers — the narrow phase
     is ~f_cap/f_narrow cheaper per level and covers almost all levels.
 
-    Returns (visited_keys, visited_counts [(depth+1)*f_cap], n_visited,
-    iters, overflow, done) — the append-log of first-visit rows in BFS
-    order, EMPTY-padded inside each level's block.
+    Returns (log [(depth+1)*f_cap] global row ids INF-padded in BFS
+    level blocks, n_visited, iters, overflow, done).
     """
     kmask = jnp.uint64((1 << (2 * k)) - 1)
-    c_cap = c0.shape[0]
     log_w = (depth + 1) * f_cap
     inf = jnp.int32(_INF32)
-
-    def lookup(cand):
-        """(global row id | INF) per candidate k-mer. One fixed
-        ``probe_w``-block window per candidate: build_sidecar records
-        the window that covers each partition's max bucket occupancy
-        (no widen retries in the loop)."""
-        ids = jnp.full(cand.shape, inf)
-        for k2d, c2d, lut, shift, base in zip(
-            keys2d, counts2d, luts, shifts, bases
-        ):
-            b = jnp.minimum(
-                cand >> jnp.uint64(shift),
-                jnp.uint64(lut.shape[0] - 2),
-            ).astype(jnp.int64)
-            s = lut[b]
-            e = lut[b + 1]
-            j0 = (s >> 5).astype(jnp.int64)  # BLOCK = 32
-            live = (cand != jnp.uint64(EMPTY)) & (e > s)
-            jb = jnp.minimum(j0, k2d.shape[0] - 1)
-            jbs = [
-                jnp.minimum(j0 + w, k2d.shape[0] - 1)
-                for w in range(probe_w)
-            ]
-            blk = jnp.concatenate([k2d[j] for j in jbs], axis=-1)
-            rows = (jb * BLOCK)[:, None] + jnp.arange(
-                probe_w * BLOCK, dtype=jnp.int64
-            )[None, :]
-            valid = (rows >= s[:, None]) & (rows < e[:, None])
-            if packed:
-                key_eq = (blk & kmask) == cand[:, None]
-                above = (blk >> jnp.uint64(2 * k)) >= min_count
-                hit = valid & key_eq & above & live[:, None]
-            else:
-                cblk = jnp.concatenate([c2d[j] for j in jbs], axis=-1)
-                hit = (
-                    valid & (blk == cand[:, None]) & live[:, None]
-                    & (cblk >= min_count)
-                )
-            row = jnp.max(jnp.where(hit, rows, -1), axis=-1)
-            mine = row >= 0
-            ids = jnp.where(
-                mine, row.astype(jnp.int32) + jnp.int32(base), ids
-            )
-        return ids
 
     def expand(frontier):
         f = frontier[:, None]
@@ -516,6 +458,96 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     else:
         state = jax.lax.while_loop(cond_narrow, make_body(f_cap), state)
     (_, _, log, n_vis, it, overflow, done) = state
+    return log, n_vis, it, overflow, done
+
+
+def _pack_scalars(n_vis, it, overflow, done):
+    """Scalars packed into ONE small array: on the tunneled deployment
+    link every host sync is a ~20 ms round trip, so four separate
+    int()/bool() reads per call would dominate small closures."""
+    return jnp.stack([
+        n_vis.astype(jnp.int64),
+        it.astype(jnp.int64),
+        overflow.astype(jnp.int64),
+        done.astype(jnp.int64),
+    ])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "depth", "f_cap", "f_narrow", "n_words", "bases", "packed",
+        "probe_w",
+    ),
+)
+def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
+                  k: int, depth: int, f_cap: int, f_narrow: int,
+                  n_words: int, bases: tuple, packed: bool,
+                  probe_w: int = 2):
+    """Depth-capped 8-neighbour closure over the partitioned table.
+
+    keys2d/counts2d/luts: tuples of per-partition sidecar arrays (when
+    ``packed``, keys2d holds the count-packed blocks and the threshold
+    test rides the same gather); shifts: per-partition LUT shifts;
+    bases: per-partition global row-id offsets. c0: the host wave's
+    candidate k-mers, EMPTY-padded. ``n_words``: visited-bitmap width
+    (total padded rows / 32). See ``_closure_run`` for the state
+    machine.
+
+    Returns (visited_keys, visited_counts [(depth+1)*f_cap], scalars)
+    — the append-log of first-visit rows compacted ascending.
+    """
+    kmask = jnp.uint64((1 << (2 * k)) - 1)
+    inf = jnp.int32(_INF32)
+
+    def lookup(cand):
+        """(global row id | INF) per candidate k-mer. One fixed
+        ``probe_w``-block window per candidate: build_sidecar records
+        the window that covers each partition's max bucket occupancy
+        (no widen retries in the loop)."""
+        ids = jnp.full(cand.shape, inf)
+        for k2d, c2d, lut, shift, base in zip(
+            keys2d, counts2d, luts, shifts, bases
+        ):
+            b = jnp.minimum(
+                cand >> jnp.uint64(shift),
+                jnp.uint64(lut.shape[0] - 2),
+            ).astype(jnp.int64)
+            s = lut[b]
+            e = lut[b + 1]
+            j0 = (s >> 5).astype(jnp.int64)  # BLOCK = 32
+            live = (cand != jnp.uint64(EMPTY)) & (e > s)
+            jb = jnp.minimum(j0, k2d.shape[0] - 1)
+            jbs = [
+                jnp.minimum(j0 + w, k2d.shape[0] - 1)
+                for w in range(probe_w)
+            ]
+            blk = jnp.concatenate([k2d[j] for j in jbs], axis=-1)
+            rows = (jb * BLOCK)[:, None] + jnp.arange(
+                probe_w * BLOCK, dtype=jnp.int64
+            )[None, :]
+            valid = (rows >= s[:, None]) & (rows < e[:, None])
+            if packed:
+                key_eq = (blk & kmask) == cand[:, None]
+                above = (blk >> jnp.uint64(2 * k)) >= min_count
+                hit = valid & key_eq & above & live[:, None]
+            else:
+                cblk = jnp.concatenate([c2d[j] for j in jbs], axis=-1)
+                hit = (
+                    valid & (blk == cand[:, None]) & live[:, None]
+                    & (cblk >= min_count)
+                )
+            row = jnp.max(jnp.where(hit, rows, -1), axis=-1)
+            mine = row >= 0
+            ids = jnp.where(
+                mine, row.astype(jnp.int32) + jnp.int32(base), ids
+            )
+        return ids
+
+    log_w = (depth + 1) * f_cap
+    log, n_vis, it, overflow, done = _closure_run(
+        lookup, c0, k, depth, f_cap, f_narrow, n_words
+    )
 
     # gather keys/counts of the logged first-visit rows, then compact
     # with one tiny kv-sort: EMPTY keys sort to the end and real keys
@@ -565,12 +597,15 @@ class ReachResult:
     iters: int
 
 
-def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
-          min_count: int, k: int, depth: int = DEPTH, f_cap: int = F_CAP,
-          max_retries: int = 4) -> ReachResult | None:
-    """Host driver for the closure kernel with grow-and-retry.
+def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
+                   f_cap: int = F_CAP,
+                   max_retries: int = 4) -> ReachResult | None:
+    """Shared host driver for closure kernels with grow-and-retry.
 
-    ``roots``: candidate k-mers of the current host wave (directional;
+    ``run_kernel(c0, f_cap, f_narrow) -> (keys, counts, scalars)`` is
+    the backend hook: the single-chip partition kernel or the
+    mesh-sharded kernel (parallel/sharded_reach.py). ``roots``:
+    candidate k-mers of the current host wave (directional;
     canonicalized on device). Returns None when the closure overflowed
     even at the largest retry shapes (the caller falls back to exact
     but slow per-wave device lookups).
@@ -581,23 +616,6 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
         return ReachResult(
             np.zeros(0, np.uint64), np.zeros(0, np.uint32), True, 0
         )
-    # packed probes carry a saturating count in the key's spare bits;
-    # exact iff the threshold fits below the saturation cap
-    packed = all(s.packed2d is not None for s in sidecars) and (
-        min_count < (1 << (64 - 2 * k)) - 1
-    )
-    keys2d = tuple(
-        (s.packed2d if packed else s.keys2d) for s in sidecars
-    )
-    counts2d = tuple(s.counts2d for s in sidecars)
-    luts = tuple(s.lut for s in sidecars)
-    shifts = tuple(
-        jnp.asarray(s.shift, jnp.uint64) for s in sidecars
-    )
-    n_rows_total = sum(int(s.keys2d.shape[0]) * BLOCK for s in sidecars)
-    n_words = max(64, -(-n_rows_total // 32))
-    probe_w = max((s.probe_blocks for s in sidecars), default=2)
-
     out_k: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
     complete = True
@@ -615,11 +633,8 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
         cur_f, cur_n = f_cap, F_NARROW
         t_call = time.perf_counter()
         for attempt in range(max_retries + 1):
-            keys, counts, scalars = _reach_kernel(
-                keys2d, counts2d, luts, shifts, jnp.asarray(c0),
-                jnp.uint32(max(min_count, 1)), k, depth, cur_f,
-                min(cur_n, cur_f), n_words, bases, packed,
-                probe_w=probe_w,
+            keys, counts, scalars = run_kernel(
+                jnp.asarray(c0), cur_f, min(cur_n, cur_f)
             )
             sc = np.asarray(scalars)  # the call's ONE device sync
             n_vis, it = int(sc[0]), int(sc[1])
@@ -664,3 +679,34 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
         keep = np.concatenate([[True], keys[1:] != keys[:-1]])
         keys, counts = keys[keep], counts[keep]
     return ReachResult(keys, counts, complete, iters)
+
+
+def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
+          min_count: int, k: int, depth: int = DEPTH, f_cap: int = F_CAP,
+          max_retries: int = 4) -> ReachResult | None:
+    """Single-chip reach: partition-tuple kernel + the shared driver."""
+    # packed probes carry a saturating count in the key's spare bits;
+    # exact iff the threshold fits below the saturation cap
+    packed = all(s.packed2d is not None for s in sidecars) and (
+        min_count < (1 << (64 - 2 * k)) - 1
+    )
+    keys2d = tuple(
+        (s.packed2d if packed else s.keys2d) for s in sidecars
+    )
+    counts2d = tuple(s.counts2d for s in sidecars)
+    luts = tuple(s.lut for s in sidecars)
+    shifts = tuple(
+        jnp.asarray(s.shift, jnp.uint64) for s in sidecars
+    )
+    n_rows_total = sum(int(s.keys2d.shape[0]) * BLOCK for s in sidecars)
+    n_words = max(64, -(-n_rows_total // 32))
+    probe_w = max((s.probe_blocks for s in sidecars), default=2)
+
+    def run_kernel(c0, cur_f, cur_n):
+        return _reach_kernel(
+            keys2d, counts2d, luts, shifts, c0,
+            jnp.uint32(max(min_count, 1)), k, depth, cur_f, cur_n,
+            n_words, bases, packed, probe_w=probe_w,
+        )
+
+    return _drive_closure(run_kernel, roots, depth, f_cap, max_retries)

@@ -36,7 +36,6 @@ from ..ops.encoding import KMER_SENTINEL, canonical_kmers
 from ..ops.sorted_store import (
     _aggregate_kernel,
     _lookup_sorted_kernel,
-    _prefix_scan_sorted_kernel,
 )
 from .sharded_table import AXIS, _owner, make_mesh  # noqa: F401
 
@@ -309,40 +308,54 @@ class ShardedSortedStore:
         s = self._flushed()
         return int(jnp.max(s.counts))
 
-    def prefix_scan(self, oligos, oligo_len: int, min_count: int,
-                    max_out: int = 1 << 16):
-        from ..ops.encoding import revcomp_kmer as _rc
+    # -- sPCR device support (mesh-sharded reach + fused range scans) ---------
 
-        if oligo_len <= 0 or oligo_len >= self.k:
-            raise ValueError(
-                f"oligo length {oligo_len} out of range for k={self.k}"
-            )
+    def _spcr_index(self):
+        """Cached per-shard sidecars (parallel/sharded_reach.py),
+        rebuilt whenever the master arrays are replaced."""
+        from .sharded_reach import ShardedSpcrIndex
+
         s = self._flushed()
-        oligos = np.asarray(oligos, dtype=np.uint64)
-        rc = np.array(
-            sorted({_rc(int(o), oligo_len) for o in oligos}), dtype=np.uint64
+        cached = getattr(self, "_spcr_cache", None)
+        if cached is not None and cached[0] is s.kmers:
+            return cached[1]
+        index = ShardedSpcrIndex(s)
+        self._spcr_cache = (s.kmers, index)
+        return index
+
+    def prepare_spcr(self) -> None:
+        """Build the sPCR shard sidecars up front (one-time cost,
+        otherwise paid lazily by the first scan/reach call)."""
+        self._spcr_index()
+
+    def reach(self, roots, min_count: int, depth: int | None = None):
+        """Depth-capped de Bruijn closure over the sharded table: the
+        closure loop runs replicated across shards with shard-local
+        probes (parallel/sharded_reach.py). Returns a ReachResult or
+        None on overflow."""
+        from ..ops import reach as reach_mod
+        from .sharded_reach import sharded_reach
+
+        s = self._flushed()
+        return sharded_reach(
+            s, s._spcr_index(), roots, min_count,
+            depth or reach_mod.DEPTH,
         )
-        fwd = np.sort(oligos)
-        all_k, all_c = [], []
-        for i in range(s.n_shards):
-            keys_i = s.kmers[i]
-            counts_i = s.counts[i]
-            rc_table = ht._revcomp_kernel(keys_i, s.k)
-            # grow-and-retry on overflow (degenerate oligos)
-            cur_max = max_out
-            while True:
-                kk, cc, nm = _prefix_scan_sorted_kernel(
-                    keys_i, counts_i, rc_table, jnp.asarray(fwd),
-                    jnp.asarray(rc), 2 * (s.k - oligo_len), 2 * oligo_len,
-                    cur_max, jnp.uint32(min_count),
-                )
-                nm = int(nm)
-                if nm <= cur_max:
-                    break
-                cur_max = 1 << (nm - 1).bit_length()
-            all_k.append(np.asarray(kk[:nm]))
-            all_c.append(np.asarray(cc[:nm]))
-        return np.concatenate(all_k), np.concatenate(all_c)
+
+    def prefix_scan(self, oligos, oligo_len: int, min_count: int,
+                    max_out: int = 1 << 12):
+        """Primer-oligo scan via shard-local fused range queries
+        (sharded_range_scan); same observable semantics as the
+        single-chip scan (forward precedence, RC normalization)."""
+        from .sharded_reach import sharded_range_scan
+
+        s = self._flushed()
+        kmers, counts = sharded_range_scan(
+            s, s._spcr_index(), np.asarray(oligos, dtype=np.uint64),
+            oligo_len, max_out=max_out,
+        )
+        keep = counts >= np.uint32(max(min_count, 1))
+        return kmers[keep], counts[keep]
 
     def to_sorted_arrays(
         self, min_count: int = 1

@@ -296,3 +296,104 @@ def test_do_pcr_identical_across_modes():
         results[mode] = [(r.rec_id, r.seq) for r in outcome.records]
     assert results["auto"] == results["full"] == results["device"]
     assert results["auto"], "no products recovered"
+
+
+def test_sharded_reach_matches_single_chip():
+    """The mesh-sharded closure must return exactly the single-chip
+    closure's visited set (8-device CPU mesh)."""
+    from sharkmer_tpu.parallel import make_mesh
+    from sharkmer_tpu.parallel.sorted_sharded import ShardedSortedStore
+
+    k = 11
+    genome = random_genome(600, seed=21)
+    reads = reads_from_genome(genome, 500, 70, seed=22)
+    codes = codes_to_batch([ascii_to_codes(r) for r in reads])
+
+    single = SortedKmerStore.create(k)
+    single.ingest_codes(codes)
+
+    mesh = make_mesh(8)
+    sharded = ShardedSortedStore.create(k, mesh, local_capacity=1 << 12)
+    sharded.ingest_codes(codes)
+
+    roots = np.array(
+        [seq_to_kmer(genome[i : i + k]) for i in (30, 200, 400)], np.uint64
+    )
+    for mc in (1, 3):
+        r1 = single.reach(roots, min_count=mc, depth=4096)
+        r2 = sharded.reach(roots, min_count=mc, depth=4096)
+        assert r2 is not None
+        assert r1.complete == r2.complete
+        assert np.array_equal(r1.keys, r2.keys)
+        assert np.array_equal(r1.counts, r2.counts)
+
+
+def test_sharded_prefix_scan_matches_single_chip():
+    from sharkmer_tpu.parallel import make_mesh
+    from sharkmer_tpu.parallel.sorted_sharded import ShardedSortedStore
+
+    k = 11
+    genome = random_genome(600, seed=31)
+    reads = reads_from_genome(genome, 400, 60, seed=32)
+    codes = codes_to_batch([ascii_to_codes(r) for r in reads])
+    single = SortedKmerStore.create(k)
+    single.ingest_codes(codes)
+    mesh = make_mesh(8)
+    sharded = ShardedSortedStore.create(k, mesh, local_capacity=1 << 12)
+    sharded.ingest_codes(codes)
+
+    oligo = seq_to_kmer(genome[100:106])
+    oligos = np.array([oligo], np.uint64)
+    k1, c1 = single.prefix_scan(oligos, 6, 1)
+    k2, c2 = sharded.prefix_scan(oligos, 6, 1)
+    o1 = np.argsort(k1)
+    o2 = np.argsort(k2)
+    assert np.array_equal(k1[o1], k2[o2])
+    assert np.array_equal(c1[o1], c2[o2])
+
+
+def test_sharded_do_pcr_prefetch_matches_single():
+    """Full sPCR against the mesh-sharded store in its deployment
+    default (auto -> reach prefetch) must match the single-chip
+    products byte for byte."""
+    from sharkmer_tpu.parallel import make_mesh
+    from sharkmer_tpu.parallel.sorted_sharded import ShardedSortedStore
+    from sharkmer_tpu.pcr.params import PCRParams
+    from sharkmer_tpu.pcr.spcr import do_pcr
+
+    rng = np.random.default_rng(41)
+    bases = np.array(list("ACGT"))
+    fwd = "".join(rng.choice(bases, size=18))
+    rev = "".join(rng.choice(bases, size=18))
+    comp = str.maketrans("ACGT", "TGCA")
+    amplicon = fwd + "".join(rng.choice(bases, size=200)) + (
+        rev.translate(comp)[::-1]
+    )
+    genome = (
+        random_genome(300, seed=42) + amplicon + random_genome(300, seed=43)
+    )
+    reads = []
+    for i in range(1000):
+        p = int(rng.integers(0, len(genome) - 60))
+        reads.append(genome[p : p + 60])
+
+    k = 15
+    codes = codes_to_batch([ascii_to_codes(r) for r in reads])
+    single = SortedKmerStore.create(k)
+    single.ingest_codes(codes)
+    mesh = make_mesh(8)
+    sharded = ShardedSortedStore.create(k, mesh, local_capacity=1 << 12)
+    sharded.ingest_codes(codes)
+
+    params = PCRParams(
+        forward_seq=fwd, reverse_seq=rev, gene_name="sharded",
+        min_length=150, max_length=350, min_count=2,
+    )
+    out1 = do_pcr(FilteredTable(single, min_count=2, mode="auto"),
+                  "s", params, max_num_nodes=20_000)
+    out2 = do_pcr(FilteredTable(sharded, min_count=2, mode="auto"),
+                  "s", params, max_num_nodes=20_000)
+    assert [(r.rec_id, r.seq) for r in out1.records] == [
+        (r.rec_id, r.seq) for r in out2.records
+    ]
+    assert out1.records, "no products recovered"
