@@ -61,6 +61,25 @@ def main(argv=None) -> int:
             if args.accession and sample["accession"] not in args.accession:
                 continue
             depths = args.max_reads or depth_default
+            fastq = None
+            synth = sample.get("synthetic")
+            if synth:
+                # offline grid: one synthetic FASTQ per (panel, sample)
+                # at the deepest depth; shallower cells reuse it via -m
+                from sharkmer_validate.synth import synthesize_panel_fastq
+
+                fastq = BENCH_DIR / "work" / "synth" / (
+                    f"{panel_name}_{sample['accession']}_"
+                    f"{max(depths)}.fastq.gz"
+                )
+                print(f"== synthesizing {fastq.name}", flush=True)
+                synthesize_panel_fastq(
+                    panel_path, fastq, max(depths),
+                    read_len=synth.get("read_len", 150),
+                    genome_mbp=synth.get("genome_mbp", 20.0),
+                    error_rate=synth.get("error_rate", 0.01),
+                    seed=synth.get("seed", 0),
+                )
             runs = []
             for max_reads in depths:
                 outdir = (
@@ -71,7 +90,8 @@ def main(argv=None) -> int:
                       f"{max_reads:,}", flush=True)
                 runs.append(
                     runner.run_sharkmer(panel_path, sample["accession"],
-                                        max_reads, outdir)
+                                        max_reads, outdir,
+                                        fastq_path=fastq)
                 )
             sample_results.append((sample, runs))
 

@@ -108,20 +108,27 @@ def run_sharkmer(
     threads: int = THREADS,
     extra_args: list[str] | None = None,
     timeout: int = 3600,
+    fastq_path: Path | None = None,
 ) -> dict:
-    """Run one pipeline invocation; returns a run record dict."""
+    """Run one pipeline invocation; returns a run record dict.
+
+    ``fastq_path`` switches from ENA streaming to a local FASTQ (the
+    offline synthetic benchmark grid); the record keeps ``accession``
+    as its sample label either way."""
     outdir.mkdir(parents=True, exist_ok=True)
     sample = f"{accession}_{max_reads}"
     cmd = sharkmer_cmd() + [
-        "--ena", accession,
         "-s", sample,
         "-k", str(k),
         "-t", str(threads),
         "-m", str(max_reads),
         "-o", str(outdir),
         "--pcr-panel-file", str(panel_path),
-        "--cache-dir", str(CACHE_DIR),
     ]
+    if fastq_path is not None:
+        cmd.append(str(fastq_path))
+    else:
+        cmd += ["--ena", accession, "--cache-dir", str(CACHE_DIR)]
     if extra_args:
         cmd.extend(extra_args)
 

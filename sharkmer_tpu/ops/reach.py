@@ -94,7 +94,12 @@ DEPTH = 2048        # waves of host walk covered per prefetch: cheap now
 #                     (~0.3 ms/level on the target chip), and one
 #                     closure covers all but the longest amplicons
 
-BLOCK = 32          # contiguous rows fetched per bucket probe
+BLOCK = 32          # contiguous rows fetched per bucket probe.
+#                     Probe arrays tile to 128 lanes regardless, so a
+#                     narrower block does NOT reduce fetched bytes —
+#                     BLOCK=16 measured ~1.5x SLOWER per level (larger
+#                     LUT, same row fetches); 32 is the sweet spot.
+_LOG2B = BLOCK.bit_length() - 1
 
 
 # -- bucket LUT sidecar --------------------------------------------------------
@@ -150,7 +155,13 @@ def _build_lut_kernel(keys, bits: int, shift: int):
     return lut, max_occ
 
 
-F_NARROW = 64  # steady-state loop width (live walkers rarely exceed ~30)
+# Steady-state loop width. Per-level cost is dominated by the probe
+# gathers and scales with 8*F_NARROW candidates: measured 2.63 ms/level
+# at 64 vs 1.03 ms/level at 16 on the deployment chip against a noisy
+# 44M-row table. Typical walks carry only a handful of live walkers;
+# the rare frontier burst past 16 overflows and retries at 64 via the
+# grow ladder, costing one extra closure run.
+F_NARROW = 16
 
 
 @dataclass(frozen=True)
@@ -340,8 +351,14 @@ def range_scan_part(part_keys, part_counts, rc_sorted, rc_order, n: int,
 # -- reachability closure ------------------------------------------------------
 
 
+def closure_log_w(depth: int, f_cap: int) -> int:
+    """Log width: one f_cap block per level, depth levels + the root
+    block + up to 3 ghost levels from the narrow phase's 4x unroll."""
+    return (depth + 4) * f_cap
+
+
 def _closure_run(lookup, c0, k: int, depth: int, f_cap: int,
-                 f_narrow: int, n_words: int):
+                 f_narrow: int, n_words: int, pre=None):
     """The closure state machine, shared by the single-chip and the
     mesh-sharded reach kernels. ``lookup(cand) -> global row id | INF``
     is the only backend-specific piece (partition-loop probes on one
@@ -356,11 +373,24 @@ def _closure_run(lookup, c0, k: int, depth: int, f_cap: int,
     a walk carries only a handful of live walkers — the narrow phase
     is ~f_cap/f_narrow cheaper per level and covers almost all levels.
 
+    ``pre`` (optional, EMPTY-padded unique canonical keys) warm-starts
+    the visited bitmap: a re-prefetching session passes the closed
+    interior of its cache (everything except the previous closure's
+    cutoff frontier and the new roots) so the new closure explores
+    only territory the walk has not already been served — without it a
+    mid-walk re-prefetch re-expands backward over the covered region.
+    Safe because every interior cache row already has ALL its
+    above-threshold neighbours in the cache (only the cutoff
+    frontier's neighbours were unexplored), so pre-marked rows cannot
+    sit on any path from the roots to uncovered rows.
+
     Returns (log [(depth+1)*f_cap] global row ids INF-padded in BFS
-    level blocks, n_visited, iters, overflow, done).
+    level blocks, boundary [<= f_cap] frontier kmers at loop exit
+    (EMPTY-padded; non-empty only when depth was exhausted),
+    n_visited, iters, overflow, done).
     """
     kmask = jnp.uint64((1 << (2 * k)) - 1)
-    log_w = (depth + 1) * f_cap
+    log_w = closure_log_w(depth, f_cap)
     inf = jnp.int32(_INF32)
 
     def expand(frontier):
@@ -441,6 +471,10 @@ def _closure_run(lookup, c0, k: int, depth: int, f_cap: int,
         return (~done) & (it <= depth) & (~overflow)
 
     bitmap0 = jnp.zeros((n_words,), jnp.uint32)
+    if pre is not None:
+        # unique keys -> unique rows; empty bitmap: the scatter-add OR
+        # stays exact. Rows below the threshold probe to INF and drop.
+        bitmap0 = mark(bitmap0, lookup(pre))
     log0 = jnp.full((log_w,), inf)
     km0, ids0, n0, ov0 = process(c0, bitmap0, f_cap)
     bitmap0 = mark(bitmap0, ids0)
@@ -451,14 +485,29 @@ def _closure_run(lookup, c0, k: int, depth: int, f_cap: int,
         state = jax.lax.while_loop(cond_wide, make_body(f_cap), state)
         frontier, bitmap, log, n_vis, it, overflow, done = state
         # hand the (now <= f_narrow live walkers, sorted to the front)
-        # frontier to the narrow loop
+        # frontier to the narrow loop; the sliced-off tail is non-EMPTY
+        # only when the wide loop exited on depth/overflow, in which
+        # case it belongs to the boundary
+        wide_tail = frontier[f_narrow:]
         state = (frontier[:f_narrow], bitmap, log, n_vis, it, overflow,
                  done)
-        state = jax.lax.while_loop(cond_narrow, make_body(f_narrow), state)
+        # narrow-phase body unrolled 4x per while iteration: most of a
+        # level's wall on the deployment chip is fixed loop overhead,
+        # and running the body on an already-done state is a harmless
+        # no-op (empty frontier expands to empty candidates), so the
+        # only cost is up to 3 ghost levels of `it` accounting
+        body_n = make_body(f_narrow)
+
+        def body_n4(state):
+            return body_n(body_n(body_n(body_n(state))))
+
+        state = jax.lax.while_loop(cond_narrow, body_n4, state)
+        boundary = jnp.concatenate([state[0], wide_tail])
     else:
         state = jax.lax.while_loop(cond_narrow, make_body(f_cap), state)
+        boundary = state[0]
     (_, _, log, n_vis, it, overflow, done) = state
-    return log, n_vis, it, overflow, done
+    return log, boundary, n_vis, it, overflow, done
 
 
 def _pack_scalars(n_vis, it, overflow, done):
@@ -483,7 +532,7 @@ def _pack_scalars(n_vis, it, overflow, done):
 def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
                   k: int, depth: int, f_cap: int, f_narrow: int,
                   n_words: int, bases: tuple, packed: bool,
-                  probe_w: int = 2):
+                  probe_w: int = 2, pre=None):
     """Depth-capped 8-neighbour closure over the partitioned table.
 
     keys2d/counts2d/luts: tuples of per-partition sidecar arrays (when
@@ -494,8 +543,9 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     (total padded rows / 32). See ``_closure_run`` for the state
     machine.
 
-    Returns (visited_keys, visited_counts [(depth+1)*f_cap], scalars)
-    — the append-log of first-visit rows compacted ascending.
+    Returns (visited_keys, visited_counts [(depth+1)*f_cap],
+    boundary kmers, scalars) — the append-log of first-visit rows
+    compacted ascending plus the cutoff frontier (see _closure_run).
     """
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     inf = jnp.int32(_INF32)
@@ -515,7 +565,7 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
             ).astype(jnp.int64)
             s = lut[b]
             e = lut[b + 1]
-            j0 = (s >> 5).astype(jnp.int64)  # BLOCK = 32
+            j0 = (s >> _LOG2B).astype(jnp.int64)
             live = (cand != jnp.uint64(EMPTY)) & (e > s)
             jb = jnp.minimum(j0, k2d.shape[0] - 1)
             jbs = [
@@ -544,9 +594,9 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
             )
         return ids
 
-    log_w = (depth + 1) * f_cap
-    log, n_vis, it, overflow, done = _closure_run(
-        lookup, c0, k, depth, f_cap, f_narrow, n_words
+    log_w = closure_log_w(depth, f_cap)
+    log, boundary, n_vis, it, overflow, done = _closure_run(
+        lookup, c0, k, depth, f_cap, f_narrow, n_words, pre=pre
     )
 
     # gather keys/counts of the logged first-visit rows, then compact
@@ -575,13 +625,8 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     # scalars packed into ONE small array: on the tunneled deployment
     # link every host sync is a ~20 ms round trip, so four separate
     # int()/bool() reads per call would dominate small closures
-    scalars = jnp.stack([
-        n_vis.astype(jnp.int64),
-        it.astype(jnp.int64),
-        overflow.astype(jnp.int64),
-        done.astype(jnp.int64),
-    ])
-    return out_keys, out_counts, scalars
+    scalars = _pack_scalars(n_vis, it, overflow, done)
+    return out_keys, out_counts, boundary, scalars
 
 
 @functools.partial(jax.jit, static_argnames=("width",))
@@ -595,6 +640,31 @@ class ReachResult:
     counts: np.ndarray
     complete: bool        # frontier emptied: closure fully explored
     iters: int
+    # cutoff-frontier keys when the depth cap was hit (empty when
+    # complete): the caller must NOT treat these as closed interior
+    # when warm-starting a later closure
+    boundary: np.ndarray = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.boundary is None:
+            self.boundary = np.zeros(0, np.uint64)
+
+# pre (warm-start) arrays are padded to this fixed width: one extra
+# compiled kernel variant, and truncating the closed interior to it is
+# always safe (fewer pre-marked rows just means more re-exploration)
+PRE_W = 4096
+
+
+def _pad_pre(pre) -> np.ndarray | None:
+    if pre is None:
+        return None
+    pre = np.asarray(pre, np.uint64).reshape(-1)
+    pre = pre[pre != EMPTY]
+    if len(pre) == 0:
+        return None
+    out = np.full(PRE_W, EMPTY, np.uint64)
+    out[: min(len(pre), PRE_W)] = pre[:PRE_W]
+    return out
 
 
 def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
@@ -602,9 +672,9 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
                    max_retries: int = 4) -> ReachResult | None:
     """Shared host driver for closure kernels with grow-and-retry.
 
-    ``run_kernel(c0, f_cap, f_narrow) -> (keys, counts, scalars)`` is
-    the backend hook: the single-chip partition kernel or the
-    mesh-sharded kernel (parallel/sharded_reach.py). ``roots``:
+    ``run_kernel(c0, f_cap, f_narrow) -> (keys, counts, boundary,
+    scalars)`` is the backend hook: the single-chip partition kernel or
+    the mesh-sharded kernel (parallel/sharded_reach.py). ``roots``:
     candidate k-mers of the current host wave (directional;
     canonicalized on device). Returns None when the closure overflowed
     even at the largest retry shapes (the caller falls back to exact
@@ -618,6 +688,7 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
         )
     out_k: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
     complete = True
     iters = 0
     # start wide enough that the root wave's own hits fit the frontier
@@ -633,7 +704,7 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
         cur_f, cur_n = f_cap, F_NARROW
         t_call = time.perf_counter()
         for attempt in range(max_retries + 1):
-            keys, counts, scalars = run_kernel(
+            keys, counts, boundary, scalars = run_kernel(
                 jnp.asarray(c0), cur_f, min(cur_n, cur_f)
             )
             sc = np.asarray(scalars)  # the call's ONE device sync
@@ -663,6 +734,9 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
             out_k.append(np.zeros(0, np.uint64))
             out_c.append(np.zeros(0, np.uint32))
         complete = complete and done
+        if not done:
+            bh = np.asarray(boundary)
+            out_b.append(bh[bh != EMPTY])
         iters += it
         log.debug(
             "reach: %d roots, %d iters, %d visited, f_cap %d, "
@@ -678,13 +752,19 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
     if len(out_k) > 1 and len(keys):
         keep = np.concatenate([[True], keys[1:] != keys[:-1]])
         keys, counts = keys[keep], counts[keep]
-    return ReachResult(keys, counts, complete, iters)
+    bound = (
+        np.unique(np.concatenate(out_b)) if out_b
+        else np.zeros(0, np.uint64)
+    )
+    return ReachResult(keys, counts, complete, iters, bound)
 
 
 def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
           min_count: int, k: int, depth: int = DEPTH, f_cap: int = F_CAP,
-          max_retries: int = 4) -> ReachResult | None:
+          max_retries: int = 4, pre=None) -> ReachResult | None:
     """Single-chip reach: partition-tuple kernel + the shared driver."""
+    pre_j = _pad_pre(pre)
+    pre_j = jnp.asarray(pre_j) if pre_j is not None else None
     # packed probes carry a saturating count in the key's spare bits;
     # exact iff the threshold fits below the saturation cap
     packed = all(s.packed2d is not None for s in sidecars) and (
@@ -706,7 +786,7 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
         return _reach_kernel(
             keys2d, counts2d, luts, shifts, c0,
             jnp.uint32(max(min_count, 1)), k, depth, cur_f, cur_n,
-            n_words, bases, packed, probe_w=probe_w,
+            n_words, bases, packed, probe_w=probe_w, pre=pre_j,
         )
 
     return _drive_closure(run_kernel, roots, depth, f_cap, max_retries)

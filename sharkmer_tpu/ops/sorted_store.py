@@ -1147,9 +1147,12 @@ class SortedKmerStore:
         if self._flushed().parts:
             self._spcr_index()
 
-    def reach(self, roots, min_count: int, depth: int | None = None):
+    def reach(self, roots, min_count: int, depth: int | None = None,
+              pre=None):
         """Depth-capped de Bruijn closure of ``roots`` over this table
-        (ops/reach.py). Returns a ReachResult or None on overflow."""
+        (ops/reach.py). ``pre``: already-covered interior keys to
+        warm-start the visited set with (re-prefetching sessions).
+        Returns a ReachResult or None on overflow."""
         from . import reach as reach_mod
 
         s = self._flushed()
@@ -1160,8 +1163,79 @@ class SortedKmerStore:
         sidecars, _rc, bases = self._spcr_index()
         return reach_mod.reach(
             sidecars, bases, roots, min_count, s.k,
-            depth=depth or reach_mod.DEPTH,
+            depth=depth or reach_mod.DEPTH, pre=pre,
         )
+
+    def prefix_scan_many(self, requests, max_out: int = 1 << 12):
+        """Batched primer scans with deferred syncs.
+
+        ``requests``: list of (oligos u64 array, oligo_len). EVERY
+        request x partition kernel is dispatched before the first host
+        sync, so the whole panel's primer discovery pays ONE link round
+        trip instead of one per (gene, primer, mismatch level) — on the
+        tunneled deployment link each sync costs ~0.1 s and a 7-gene
+        panel issues ~40 scans. Returns [(kmers, counts)] per request
+        at min count 1 (callers filter); semantics per request are
+        identical to ``prefix_scan`` (each request keeps its own
+        forward-precedence, nothing is unioned across requests).
+        """
+        from .reach import _fused_scan_kernel, range_scan_part
+
+        s = self._flushed()
+        empty = (np.zeros(0, np.uint64), np.zeros(0, np.uint32))
+        if not s.parts:
+            return [empty for _ in requests]
+        _sidecars, rc_indexes, _bases = self._spcr_index()
+
+        pend = []
+        for oligos, olen in requests:
+            if olen <= 0 or olen >= s.k:
+                raise ValueError(
+                    f"oligo length {olen} out of range for k={s.k}"
+                )
+            shift = 2 * (s.k - olen)
+            pad_val = np.uint64(1) << np.uint64(2 * olen)
+            width = max(64, 1 << max(len(oligos) - 1, 0).bit_length())
+            padded = np.full(width, pad_val, np.uint64)
+            padded[: len(oligos)] = np.sort(
+                np.asarray(oligos, np.uint64)
+            )
+            oj = jnp.asarray(padded)
+            parts_out = []
+            for p, (rc_sorted, rc_order) in zip(s.parts, rc_indexes):
+                res = _fused_scan_kernel(
+                    p.kmers, p.counts, rc_sorted, rc_order,
+                    jnp.int64(p.n), oj, shift, s.k, max_out,
+                )
+                for a in res:
+                    a.copy_to_host_async()
+                parts_out.append(res)
+            pend.append((oligos, olen, parts_out))
+
+        out = []
+        for oligos, olen, parts_out in pend:
+            all_k, all_c = [empty[0]], [empty[1]]
+            for (p, (rc_sorted, rc_order)), (kk, cc, totals) in zip(
+                zip(s.parts, rc_indexes), parts_out
+            ):
+                tot = np.asarray(totals)
+                if int(tot.max()) > max_out:
+                    # rare overflow: rerun this partition synchronously
+                    # with the grow-and-retry path
+                    kh, ch = range_scan_part(
+                        p.kmers, p.counts, rc_sorted, rc_order, p.n,
+                        np.asarray(oligos, np.uint64), olen, s.k,
+                        max_out=1 << (int(tot.max()) - 1).bit_length(),
+                    )
+                else:
+                    kf = np.asarray(kk)
+                    cf = np.asarray(cc)
+                    live = kf != EMPTY
+                    kh, ch = kf[live], cf[live]
+                all_k.append(kh)
+                all_c.append(ch)
+            out.append((np.concatenate(all_k), np.concatenate(all_c)))
+        return out
 
     def prefix_scan(self, oligos, oligo_len: int, min_count: int,
                     max_out: int = 1 << 12):

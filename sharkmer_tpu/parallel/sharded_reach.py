@@ -137,9 +137,10 @@ def _make_reach_kernel(mesh: Mesh, k: int, bits: int, cap: int,
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     inf = jnp.int32(_INF32)
 
-    @jax.jit
-    def run(kmers, counts, lut, probe_plane, c0, min_count):
-        def body(kmers, counts, lut, probe_plane, c0, min_count):
+    @functools.partial(jax.jit, static_argnames=("has_pre",))
+    def run(kmers, counts, lut, probe_plane, c0, min_count, pre,
+            has_pre: bool):
+        def body(kmers, counts, lut, probe_plane, c0, min_count, pre):
             me = jax.lax.axis_index(AXIS).astype(jnp.int32)
             base = me * jnp.int32(cap)
             k2d = probe_plane[0].reshape(n_blocks, BLOCK)
@@ -153,7 +154,7 @@ def _make_reach_kernel(mesh: Mesh, k: int, bits: int, cap: int,
                 ).astype(jnp.int64)
                 s = mylut[b]
                 e = mylut[b + 1]
-                j0 = (s >> 5).astype(jnp.int64)
+                j0 = (s >> reach_mod._LOG2B).astype(jnp.int64)
                 live = (cand != jnp.uint64(EMPTY)) & (e > s)
                 jb = jnp.minimum(j0, n_blocks - 1)
                 jbs = [
@@ -184,8 +185,9 @@ def _make_reach_kernel(mesh: Mesh, k: int, bits: int, cap: int,
                 # a key lives on exactly one shard: min picks its row
                 return jax.lax.pmin(ids, AXIS)
 
-            log, n_vis, it, overflow, done = _closure_run(
-                lookup, c0, k, depth, f_cap, f_narrow, n_words
+            log, boundary, n_vis, it, overflow, done = _closure_run(
+                lookup, c0, k, depth, f_cap, f_narrow, n_words,
+                pre=pre if has_pre else None,
             )
 
             # shard-local gather of the logged rows, then cross-shard
@@ -207,7 +209,7 @@ def _make_reach_kernel(mesh: Mesh, k: int, bits: int, cap: int,
                 (out_keys, out_counts), num_keys=1, is_stable=False
             )
             return (
-                out_keys, out_counts,
+                out_keys, out_counts, boundary,
                 _pack_scalars(n_vis, it, overflow, done),
             )
 
@@ -215,11 +217,11 @@ def _make_reach_kernel(mesh: Mesh, k: int, bits: int, cap: int,
             body, mesh=mesh,
             in_specs=(
                 P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                P(AXIS, None), P(), P(),
+                P(AXIS, None), P(), P(), P(),
             ),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
-        )(kmers, counts, lut, probe_plane, c0, min_count)
+        )(kmers, counts, lut, probe_plane, c0, min_count, pre)
 
     return run
 
@@ -227,9 +229,17 @@ def _make_reach_kernel(mesh: Mesh, k: int, bits: int, cap: int,
 def sharded_reach(store, index: ShardedSpcrIndex, roots: np.ndarray,
                   min_count: int, depth: int,
                   f_cap: int = reach_mod.F_CAP,
-                  max_retries: int = 4):
+                  max_retries: int = 4, pre=None):
     """Mesh-sharded closure through the shared host driver."""
+    from ..ops.reach import _pad_pre
+
     k = store.k
+    pre_h = _pad_pre(pre)
+    has_pre = pre_h is not None
+    pre_j = jnp.asarray(
+        pre_h if has_pre
+        else np.full(reach_mod.PRE_W, EMPTY, np.uint64)
+    )
     packed = index.packed and (
         min_count < (1 << (64 - 2 * k)) - 1
     )
@@ -244,7 +254,7 @@ def sharded_reach(store, index: ShardedSpcrIndex, roots: np.ndarray,
         )
         return kern(
             store.kmers, store.counts, index.lut, probe_plane, c0,
-            jnp.uint32(max(min_count, 1)),
+            jnp.uint32(max(min_count, 1)), pre_j, has_pre=has_pre,
         )
 
     return _drive_closure(run_kernel, roots, depth, f_cap, max_retries)

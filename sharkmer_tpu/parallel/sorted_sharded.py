@@ -328,7 +328,8 @@ class ShardedSortedStore:
         otherwise paid lazily by the first scan/reach call)."""
         self._spcr_index()
 
-    def reach(self, roots, min_count: int, depth: int | None = None):
+    def reach(self, roots, min_count: int, depth: int | None = None,
+              pre=None):
         """Depth-capped de Bruijn closure over the sharded table: the
         closure loop runs replicated across shards with shard-local
         probes (parallel/sharded_reach.py). Returns a ReachResult or
@@ -339,7 +340,7 @@ class ShardedSortedStore:
         s = self._flushed()
         return sharded_reach(
             s, s._spcr_index(), roots, min_count,
-            depth or reach_mod.DEPTH,
+            depth or reach_mod.DEPTH, pre=pre,
         )
 
     def prefix_scan(self, oligos, oligo_len: int, min_count: int,
@@ -356,6 +357,26 @@ class ShardedSortedStore:
         )
         keep = counts >= np.uint32(max(min_count, 1))
         return kmers[keep], counts[keep]
+
+    def prefix_scan_many(self, requests, max_out: int = 1 << 12):
+        """Batched primer scans (see SortedKmerStore.prefix_scan_many):
+        each request dispatches its shard_map scan before the first
+        host sync; per-request semantics identical to prefix_scan."""
+        from .sharded_reach import sharded_range_scan
+
+        s = self._flushed()
+        index = s._spcr_index()
+        # v1: sequential per-request calls (one sync each). The
+        # latency win that motivates the batch API is a single-chip
+        # tunnel concern; on a pod slice the controller sits next to
+        # the mesh and per-call syncs are cheap.
+        return [
+            sharded_range_scan(
+                s, index, np.asarray(oligos, dtype=np.uint64), olen,
+                max_out=max_out,
+            )
+            for oligos, olen in requests
+        ]
 
     def to_sorted_arrays(
         self, min_count: int = 1

@@ -101,6 +101,12 @@ class FilteredTable:
     _lock: threading.Lock = field(
         default_factory=threading.Lock, repr=False, compare=False
     )
+    # primer-scan results pre-fetched for the whole panel in one
+    # batched dispatch (primers.warm_panel_scans): (oligo_len, sorted
+    # oligo bytes) -> (kmers, counts) at min count 1
+    _scan_cache: dict = field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     @property
     def k(self) -> int:
@@ -150,11 +156,14 @@ class FilteredTable:
             # to select the same packed kernel production calls use
             spare = 64 - 2 * self.table.k
             warm_mc = (1 << spare) - 2 if spare >= 12 else (1 << 30)
-            for n_roots in (1, 257):  # f_cap 256 and 1024 shapes
+            # f_cap 256 and 1024 shapes, plus the warm-started (pre)
+            # variant at 256 that mid-walk re-prefetches hit
+            for n_roots, pre in ((1, None), (257, None),
+                                 (1, np.arange(300, 320, dtype=np.uint64))):
                 try:
                     self.table.reach(
                         np.arange(1, n_roots + 1, dtype=np.uint64),
-                        warm_mc, depth=self.prefetch_depth,
+                        warm_mc, depth=self.prefetch_depth, pre=pre,
                     )
                 except Exception:  # pragma: no cover - best-effort
                     # a silent warmup failure pushes a tens-of-seconds
@@ -223,9 +232,16 @@ class FilteredTable:
                             min_count: int):
         """All table k-mers starting with an oligo on either strand
         (find_oligos_in_kmers semantics: forward precedence, RC hits
-        revcomp-normalized). Always served on device — range queries
-        on the sorted backend, a sweep on the hash backend; outputs
-        are tiny either way."""
+        revcomp-normalized). Served from the panel-batched scan cache
+        when warm_panel_scans pre-fetched this oligo set, else on
+        device — range queries on the sorted backend, a sweep on the
+        hash backend; outputs are tiny either way."""
+        oligos = np.asarray(oligos, dtype=np.uint64)
+        hit = self._scan_cache.get((oligo_len, oligos.tobytes()))
+        if hit is not None:
+            km, ct = hit
+            keep = ct >= np.uint32(max(min_count, 1))
+            return km[keep], ct[keep]
         return self.table.prefix_scan(oligos, oligo_len, min_count)
 
     def get_canonical(self, kmer: int) -> int | None:

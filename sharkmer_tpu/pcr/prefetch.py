@@ -53,6 +53,10 @@ class PrefetchSession:
         self._complete = False  # closure quiesced: misses final
         self._dead = False  # device overflowed: mirror/per-wave fallback
         self._fallback_mirror = None  # (sorted keys, counts) after overflow
+        # cutoff-frontier keys of every depth-capped closure so far:
+        # these rows' neighbours were never explored, so they must stay
+        # OUT of a later closure's warm-start interior
+        self._boundary = np.zeros(0, np.uint64)
         self.n_prefetches = 0
         self.device_iters = 0
 
@@ -89,7 +93,20 @@ class PrefetchSession:
         return counts
 
     def _prefetch(self, roots: np.ndarray) -> None:
-        res = self.view.table.reach(roots, self.threshold, self.depth)
+        pre = None
+        if len(self._keys):
+            # warm-start with the cache's CLOSED interior: every cached
+            # row except the previous closures' cutoff frontiers (their
+            # neighbours were never explored) and the new roots (they
+            # must be processed, not skipped). Without this, a mid-walk
+            # re-prefetch re-expands backward over the covered region —
+            # measured 2x on long low-coverage chains.
+            pre = np.setdiff1d(
+                self._keys, np.concatenate([self._boundary, roots])
+            )
+        res = self.view.table.reach(
+            roots, self.threshold, self.depth, pre=pre
+        )
         if res is None:
             self._dead = True
             from .counts import MIRROR_MAX_UNIQUE
@@ -112,6 +129,7 @@ class PrefetchSession:
             return
         self.n_prefetches += 1
         self.device_iters += res.iters
+        self._boundary = np.union1d(self._boundary, res.boundary)
         if len(self._keys):
             keys = np.concatenate([self._keys, res.keys])
             counts = np.concatenate([self._counts, res.counts])

@@ -116,12 +116,10 @@ def preprocess_primer_by_mismatch(
     return levels
 
 
-def get_kmers_from_primers(
-    variants: set[str], counts: FilteredTable, min_count: int
-) -> SmallCounts:
-    """K-mers in the table that start with any variant (either strand)."""
-    if not variants:
-        return SmallCounts(counts.k)
+def variants_to_oligos(variants: set[str]) -> tuple[np.ndarray, int]:
+    """Concrete variant strings -> (sorted unique u64 array, length).
+    Shared by the per-gene scan path and warm_panel_scans so the two
+    construct byte-identical cache keys."""
     oligos = []
     length = None
     for v in variants:
@@ -131,12 +129,62 @@ def get_kmers_from_primers(
         elif olen != length:
             raise ValueError("primer variants must share a length")
         oligos.append(kmer)
+    return np.array(sorted(set(oligos)), np.uint64), length
+
+
+def warm_panel_scans(counts: FilteredTable, runs: list[PCRParams]) -> None:
+    """Pre-fetch every (gene, primer, mismatch level) scan of the panel
+    in ONE batched device dispatch (prefix_scan_many) before the gene
+    pool starts. Each request keeps its own per-scan semantics — this
+    only moves the ~0.1 s/dispatch link latency off the per-gene path.
+    Backends without prefix_scan_many (hash table) scan lazily."""
+    scan_many = getattr(counts.table, "prefix_scan_many", None)
+    if scan_many is None:
+        return
+    requests, keys = [], []
+    seen = set()
+    for params in runs:
+        for direction in (FORWARD, REVERSE):
+            try:
+                levels = preprocess_primer_by_mismatch(
+                    params, direction, counts.k
+                )
+            except ValueError:
+                continue  # the gene's own path reports the error
+            for variants in levels:
+                if not variants:
+                    continue
+                try:
+                    arr, olen = variants_to_oligos(variants)
+                except ValueError:
+                    continue
+                if olen <= 0 or olen >= counts.k:
+                    continue
+                key = (olen, arr.tobytes())
+                if key in seen:
+                    continue
+                seen.add(key)
+                requests.append((arr, olen))
+                keys.append(key)
+    if not requests:
+        return
+    results = scan_many(requests)
+    counts._scan_cache.update(dict(zip(keys, results)))
+
+
+def get_kmers_from_primers(
+    variants: set[str], counts: FilteredTable, min_count: int
+) -> SmallCounts:
+    """K-mers in the table that start with any variant (either strand)."""
+    if not variants:
+        return SmallCounts(counts.k)
+    oligos_arr, length = variants_to_oligos(variants)
     if length <= 0 or length >= counts.k:
         raise ValueError(
             f"oligo length {length} out of range for k={counts.k}"
         )
     kmers, cts = counts.find_primer_matches(
-        np.array(sorted(set(oligos)), np.uint64), length, min_count
+        oligos_arr, length, min_count
     )
     result = SmallCounts(counts.k)
     for km, c in zip(kmers.tolist(), cts.tolist()):

@@ -110,6 +110,10 @@ def run_pcr(
     log.info("Running in silico PCR...")
     log.info("Filtering kmers with count < %d before PCR", filtered.min_count)
     filtered.warm_caches()  # one mirror/rc-index build, not one per worker
+    # pre-fetch every gene's primer scans in one batched dispatch
+    from .pcr.primers import warm_panel_scans
+
+    warm_panel_scans(filtered, pcr_runs)
 
     def one(params: PCRParams):
         return do_pcr(

@@ -244,7 +244,7 @@ def test_session_fallback_on_overflow(monkeypatch):
     store = build_store(genome, k, n_reads=400)
     view = FilteredTable(store, min_count=1, mode="auto")
     monkeypatch.setattr(
-        type(store), "reach", lambda self, r, m, d=None: None
+        type(store), "reach", lambda self, r, m, d=None, pre=None: None
     )
     session = PrefetchSession(view, 1, depth=8)
     q = np.array([seq_to_kmer(genome[50 : 50 + k])], np.uint64)
