@@ -166,9 +166,15 @@ F_NARROW = 16
 
 @dataclass(frozen=True)
 class PartSidecar:
-    """Per-partition device index structures (immutable per flush)."""
+    """Per-partition device index structures (immutable per flush).
 
-    keys2d: jax.Array   # [n_blocks, BLOCK] view of the sorted keys
+    Key/count planes are kept FLAT and reshaped to [n_blocks, BLOCK]
+    inside the kernels (an input reshape is a layout no-op under jit;
+    materializing the 2D views cost +12 B/row of HBM — 2.5 GB on a
+    205M-row table, the difference between fitting and OOM at 8M
+    reads)."""
+
+    keys2d: jax.Array   # flat sorted keys, length n_blocks*BLOCK
     counts2d: jax.Array
     lut: jax.Array      # [2^bits + 1] int32 row offsets
     bits: int
@@ -225,12 +231,10 @@ def build_sidecar(part_keys, part_counts, k: int) -> PartSidecar:
         )
     packed2d = None
     if 64 - 2 * k >= 12:
-        packed2d = _pack_counts_kernel(
-            part_keys, part_counts, k
-        ).reshape(-1, BLOCK)
+        packed2d = _pack_counts_kernel(part_keys, part_counts, k)
     return PartSidecar(
-        keys2d=part_keys.reshape(-1, BLOCK),
-        counts2d=part_counts.reshape(-1, BLOCK),
+        keys2d=part_keys,
+        counts2d=part_counts,
         lut=lut, bits=bits, shift=shift, packed2d=packed2d,
         probe_blocks=probe_blocks,
     )
@@ -556,9 +560,11 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
         the window that covers each partition's max bucket occupancy
         (no widen retries in the loop)."""
         ids = jnp.full(cand.shape, inf)
-        for k2d, c2d, lut, shift, base in zip(
+        for kflat, cflat, lut, shift, base in zip(
             keys2d, counts2d, luts, shifts, bases
         ):
+            k2d = kflat.reshape(-1, BLOCK)
+            c2d = cflat.reshape(-1, BLOCK)
             b = jnp.minimum(
                 cand >> jnp.uint64(shift),
                 jnp.uint64(lut.shape[0] - 2),
@@ -606,13 +612,11 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     out_keys = jnp.full((log_w,), jnp.uint64(EMPTY))
     out_counts = jnp.zeros((log_w,), jnp.uint32)
     live = log != inf
-    for k2d, c2d, base in zip(keys2d, counts2d, bases):
-        n_rows = k2d.shape[0] * BLOCK
+    for flat_k, flat_c, base in zip(keys2d, counts2d, bases):
+        n_rows = flat_k.shape[0]
         local = (log - jnp.int32(base)).astype(jnp.int64)
         mine = live & (local >= 0) & (local < n_rows)
         safe = jnp.where(mine, local, 0)
-        flat_k = k2d.reshape(-1)
-        flat_c = c2d.reshape(-1)
         gk = flat_k[safe]
         if packed:  # strip the packed count bits back off the key
             gk = gk & kmask
@@ -778,7 +782,7 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
     shifts = tuple(
         jnp.asarray(s.shift, jnp.uint64) for s in sidecars
     )
-    n_rows_total = sum(int(s.keys2d.shape[0]) * BLOCK for s in sidecars)
+    n_rows_total = sum(int(s.keys2d.shape[0]) for s in sidecars)
     n_words = max(64, -(-n_rows_total // 32))
     probe_w = max((s.probe_blocks for s in sidecars), default=2)
 

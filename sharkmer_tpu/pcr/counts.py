@@ -147,7 +147,23 @@ class FilteredTable:
         indexes (prefetch mode) or the host mirror (full mode)."""
         mode = self._resolved_mode()
         if mode == "prefetch":
-            self.table.prepare_spcr()
+            try:
+                self.table.prepare_spcr()
+            except Exception:
+                # very large tables can exhaust HBM building the sPCR
+                # sidecars: degrade to the mirror (small table) or
+                # per-wave device lookups instead of crashing the run
+                log.warning(
+                    "sPCR device-index build failed; falling back from "
+                    "reach-prefetch mode", exc_info=True,
+                )
+                try:
+                    small = self.table.n_unique() <= MIRROR_MAX_UNIQUE
+                except Exception:
+                    small = False
+                self._mode_cache = "full" if small else "device"
+                self.warm_caches()
+                return
             # compile the closure kernel at the production variants so
             # the first genes' walks don't pay the (tens of seconds)
             # compile: both standard frontier shapes, and a min_count
