@@ -340,27 +340,39 @@ def run_bench(args):
 
     # ---- 8M-read row (the reference's largest committed config) ----------
     if args.reads_large:
-        _stage(f"generating {args.reads_large} reads")
-        batches8, n_batches8 = _build_batches(args, args.reads_large)
-        _stage("timed: count pass (8M)")
-        t0 = time.perf_counter()
-        store8, n_unique8 = _one_pass(make_store, batches8)
-        count8_wall = time.perf_counter() - t0
-        del batches8
-        total8 = n_batches8 * kmers_per_batch
-        _stage(f"timed: sPCR prep+panel (8M, {n_unique8} unique)")
-        prep8, spcr8, genes_ok8, _ = _spcr_phase(
-            args, store8, args.reads_large
-        )
-        del store8
-        e2e8 = count8_wall + prep8 + spcr8
-        result.update({
-            "kmers_per_sec_8m": round(total8 / count8_wall),
-            "spcr_8m_wall_s": round(prep8 + spcr8, 2),
-            "spcr_8m_genes_ok": f"{genes_ok8}/{n_genes}",
-            "e2e_8m_wall_s": round(e2e8, 2),
-            "e2e_8m_vs_baseline": round(BASELINE_E2E_8M_WALL_S / e2e8, 3),
-        })
+        import gc
+
+        gc.collect()  # free the 1M store's device buffers first
+        try:
+            _stage(f"generating {args.reads_large} reads")
+            batches8, n_batches8 = _build_batches(args, args.reads_large)
+            _stage("timed: count pass (8M)")
+            t0 = time.perf_counter()
+            store8, n_unique8 = _one_pass(make_store, batches8)
+            count8_wall = time.perf_counter() - t0
+            del batches8
+            gc.collect()
+            total8 = n_batches8 * kmers_per_batch
+            _stage(f"timed: sPCR prep+panel (8M, {n_unique8} unique)")
+            prep8, spcr8, genes_ok8, _ = _spcr_phase(
+                args, store8, args.reads_large
+            )
+            del store8
+            e2e8 = count8_wall + prep8 + spcr8
+            result.update({
+                "kmers_per_sec_8m": round(total8 / count8_wall),
+                "spcr_8m_wall_s": round(prep8 + spcr8, 2),
+                "spcr_8m_genes_ok": f"{genes_ok8}/{n_genes}",
+                "e2e_8m_wall_s": round(e2e8, 2),
+                "e2e_8m_vs_baseline": round(
+                    BASELINE_E2E_8M_WALL_S / e2e8, 3
+                ),
+            })
+        except Exception as e:  # never lose the 1M row's JSON line
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            result["e2e_8m_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps(result))
 

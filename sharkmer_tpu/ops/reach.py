@@ -197,7 +197,8 @@ def _pack_counts_kernel(keys, counts, k: int):
     )
 
 
-def build_sidecar(part_keys, part_counts, k: int) -> PartSidecar:
+def build_sidecar(part_keys, part_counts, k: int,
+                  with_packed: bool = True) -> PartSidecar:
     n_slots = int(part_keys.shape[0])
     bits = _lut_bits(n_slots, k)
     cap = _lut_bits_cap(k)
@@ -230,7 +231,7 @@ def build_sidecar(part_keys, part_counts, k: int) -> PartSidecar:
             [part_counts, jnp.zeros((pad,), jnp.uint32)]
         )
     packed2d = None
-    if 64 - 2 * k >= 12:
+    if with_packed and 64 - 2 * k >= 12:
         packed2d = _pack_counts_kernel(part_keys, part_counts, k)
     return PartSidecar(
         keys2d=part_keys,

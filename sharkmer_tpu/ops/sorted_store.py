@@ -1126,8 +1126,17 @@ class SortedKmerStore:
         token = tuple(id(p) for p in s.parts)
         if cached is not None and cached[0] == token:
             return cached[1]
+        # the count-packed probe plane costs +8 B/row; above ~128M
+        # rows (multi-partition deep tables) skip it so the whole sPCR
+        # index fits HBM next to the master - probes then gather the
+        # key and count planes separately (~1.3x slower walks)
+        total_rows = sum(int(p.kmers.shape[0]) for p in s.parts)
+        with_packed = total_rows <= (1 << 27)
         sidecars = [
-            reach_mod.build_sidecar(p.kmers, p.counts, s.k) for p in s.parts
+            reach_mod.build_sidecar(
+                p.kmers, p.counts, s.k, with_packed=with_packed
+            )
+            for p in s.parts
         ]
         rc_indexes = [
             reach_mod._rc_index_kernel(p.kmers, s.k) for p in s.parts

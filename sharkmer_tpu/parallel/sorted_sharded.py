@@ -15,6 +15,9 @@ shard_map:
   all-reduce does not lower on TPU; see _sum_shards_u64).
 * **lookup**: no owner masking needed — a k-mer exists only on its
   owning shard, every other shard contributes 0, and psum combines.
+* **sPCR data plane**: shard-local reach closures and fused primer
+  range scans (parallel/sharded_reach.py) — the same reach-prefetch
+  deployment default as the single-chip store, not a mirror fallback.
 
 Bit-identical to the single-device store by construction (same
 aggregation arithmetic, ownership only partitions the keyspace).

@@ -397,3 +397,25 @@ def test_sharded_do_pcr_prefetch_matches_single():
         (r.rec_id, r.seq) for r in out2.records
     ]
     assert out1.records, "no products recovered"
+
+
+def test_warm_caches_degrades_when_index_build_fails(monkeypatch):
+    """If the sPCR device-index build fails (e.g. HBM exhaustion on
+    very large tables), warm_caches must fall back to the mirror mode
+    and lookups must stay exact."""
+    k = 11
+    genome = random_genome(500, seed=51)
+    store = build_store(genome, k, n_reads=300)
+
+    def boom(self):
+        raise RuntimeError("synthetic RESOURCE_EXHAUSTED")
+
+    monkeypatch.setattr(type(store), "prepare_spcr", boom)
+    view = FilteredTable(store, min_count=1, mode="auto")
+    view.warm_caches()
+    assert view._resolved_mode() == "full"
+    q = np.array([seq_to_kmer(genome[40 : 40 + k])], np.uint64)
+    exact = FilteredTable(store, min_count=1, mode="device")
+    np.testing.assert_array_equal(
+        view.get_canonical_many(q), exact.get_canonical_many(q)
+    )
