@@ -554,6 +554,11 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     """
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     inf = jnp.int32(_INF32)
+    # reshape the flat planes ONCE, outside the closure loop: a
+    # reshape inside `lookup` re-materializes the full partition every
+    # while-loop level (measured ~3x per-level cost)
+    k2ds = [kf.reshape(-1, BLOCK) for kf in keys2d]
+    c2ds = [cf.reshape(-1, BLOCK) for cf in counts2d]
 
     def lookup(cand):
         """(global row id | INF) per candidate k-mer. One fixed
@@ -561,11 +566,9 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
         the window that covers each partition's max bucket occupancy
         (no widen retries in the loop)."""
         ids = jnp.full(cand.shape, inf)
-        for kflat, cflat, lut, shift, base in zip(
-            keys2d, counts2d, luts, shifts, bases
+        for k2d, c2d, lut, shift, base in zip(
+            k2ds, c2ds, luts, shifts, bases
         ):
-            k2d = kflat.reshape(-1, BLOCK)
-            c2d = cflat.reshape(-1, BLOCK)
             b = jnp.minimum(
                 cand >> jnp.uint64(shift),
                 jnp.uint64(lut.shape[0] - 2),
