@@ -168,13 +168,15 @@ F_NARROW = 16
 class PartSidecar:
     """Per-partition device index structures (immutable per flush).
 
-    Key/count planes are kept FLAT and reshaped to [n_blocks, BLOCK]
-    inside the kernels (an input reshape is a layout no-op under jit;
-    materializing the 2D views cost +12 B/row of HBM — 2.5 GB on a
-    205M-row table, the difference between fitting and OOM at 8M
-    reads)."""
+    The key/count planes are materialized as [n_blocks, BLOCK] arrays:
+    the probe's row gathers need the 2D layout, and reshaping flat
+    planes inside the kernel re-materializes them per while-loop
+    capture (measured: 3x per-level cost or +13 GB at 8M-read scale,
+    whichever way the reshape lands). The +12 B/row these copies cost
+    is paid back by dropping the packed probe plane on large tables
+    (see _spcr_index's with_packed gate)."""
 
-    keys2d: jax.Array   # flat sorted keys, length n_blocks*BLOCK
+    keys2d: jax.Array   # [n_blocks, BLOCK] view of the sorted keys
     counts2d: jax.Array
     lut: jax.Array      # [2^bits + 1] int32 row offsets
     bits: int
@@ -232,10 +234,12 @@ def build_sidecar(part_keys, part_counts, k: int,
         )
     packed2d = None
     if with_packed and 64 - 2 * k >= 12:
-        packed2d = _pack_counts_kernel(part_keys, part_counts, k)
+        packed2d = _pack_counts_kernel(
+            part_keys, part_counts, k
+        ).reshape(-1, BLOCK)
     return PartSidecar(
-        keys2d=part_keys,
-        counts2d=part_counts,
+        keys2d=part_keys.reshape(-1, BLOCK),
+        counts2d=part_counts.reshape(-1, BLOCK),
         lut=lut, bits=bits, shift=shift, packed2d=packed2d,
         probe_blocks=probe_blocks,
     )
@@ -554,11 +558,7 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     """
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     inf = jnp.int32(_INF32)
-    # reshape the flat planes ONCE, outside the closure loop: a
-    # reshape inside `lookup` re-materializes the full partition every
-    # while-loop level (measured ~3x per-level cost)
-    k2ds = [kf.reshape(-1, BLOCK) for kf in keys2d]
-    c2ds = [cf.reshape(-1, BLOCK) for cf in counts2d]
+    k2ds, c2ds = keys2d, counts2d
 
     def lookup(cand):
         """(global row id | INF) per candidate k-mer. One fixed
@@ -616,17 +616,20 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     out_keys = jnp.full((log_w,), jnp.uint64(EMPTY))
     out_counts = jnp.zeros((log_w,), jnp.uint32)
     live = log != inf
-    for flat_k, flat_c, base in zip(keys2d, counts2d, bases):
-        n_rows = flat_k.shape[0]
+    for k2d, c2d, base in zip(keys2d, counts2d, bases):
+        n_rows = k2d.shape[0] * BLOCK
         local = (log - jnp.int32(base)).astype(jnp.int64)
         mine = live & (local >= 0) & (local < n_rows)
         safe = jnp.where(mine, local, 0)
-        gk = flat_k[safe]
+        # 2D indexing: a flat reshape of the big planes would copy them
+        gk = k2d[safe // BLOCK, safe % BLOCK]
         if packed:  # strip the packed count bits back off the key
             gk = gk & kmask
         out_keys = jnp.where(mine, gk, out_keys)
         # counts come from the exact u32 plane either way
-        out_counts = jnp.where(mine, flat_c[safe], out_counts)
+        out_counts = jnp.where(
+            mine, c2d[safe // BLOCK, safe % BLOCK], out_counts
+        )
     out_keys, out_counts = jax.lax.sort(
         (out_keys, out_counts), num_keys=1, is_stable=False
     )
@@ -786,7 +789,7 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
     shifts = tuple(
         jnp.asarray(s.shift, jnp.uint64) for s in sidecars
     )
-    n_rows_total = sum(int(s.keys2d.shape[0]) for s in sidecars)
+    n_rows_total = sum(int(s.keys2d.shape[0]) * BLOCK for s in sidecars)
     n_words = max(64, -(-n_rows_total // 32))
     probe_w = max((s.probe_blocks for s in sidecars), default=2)
 
