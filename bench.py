@@ -233,12 +233,14 @@ def _build_batches(args, n_reads: int, seed: int = 0):
     ], n_batches
 
 
-def _one_pass(make_store, batches):
+def _one_pass(make_store, batches, consume: bool = False):
     store = make_store()
-    for codes in batches:
+    for i, codes in enumerate(batches):
         # SortedKmerStore mutates and returns self; KmerTable is
         # functional and returns the updated table — rebind for both
         store = store.ingest_codes(codes)
+        if consume:  # free each batch's device buffer as it lands
+            batches[i] = None
     if hasattr(store, "flush"):
         store.flush()
     histo = store.histogram(10_000)
@@ -348,7 +350,12 @@ def run_bench(args):
             batches8, n_batches8 = _build_batches(args, args.reads_large)
             _stage("timed: count pass (8M)")
             t0 = time.perf_counter()
-            store8, n_unique8 = _one_pass(make_store, batches8)
+            # consume=True: the 8M row runs within ~1 GB of HBM
+            # headroom; freeing each 40 MB batch after ingest keeps the
+            # merge workspace from tipping over
+            store8, n_unique8 = _one_pass(
+                make_store, batches8, consume=True
+            )
             count8_wall = time.perf_counter() - t0
             del batches8
             gc.collect()
