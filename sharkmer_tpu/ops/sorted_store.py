@@ -1131,14 +1131,19 @@ class SortedKmerStore:
         # index fits HBM next to the master - probes then gather the
         # key and count planes separately (~1.3x slower walks)
         total_rows = sum(int(p.kmers.shape[0]) for p in s.parts)
-        with_packed = total_rows <= (1 << 27)
+        # above ~128M rows the full index does not fit HBM next to the
+        # master: skip the count-packed probe plane (+8 B/row; probes
+        # then gather key and count planes separately, ~1.3x slower
+        # walks) and serve the rc scan indexes transiently per scan
+        # instead of caching them (+12 B/row)
+        big = total_rows > (1 << 27)
         sidecars = [
             reach_mod.build_sidecar(
-                p.kmers, p.counts, s.k, with_packed=with_packed
+                p.kmers, p.counts, s.k, with_packed=not big
             )
             for p in s.parts
         ]
-        rc_indexes = [
+        rc_indexes = None if big else [
             reach_mod._rc_index_kernel(p.kmers, s.k) for p in s.parts
         ]
         bases = []
@@ -1149,6 +1154,13 @@ class SortedKmerStore:
         data = (sidecars, rc_indexes, tuple(bases))
         self._spcr_cache = (token, data)
         return data
+
+    def _rc_index_for(self, part):
+        """The partition's rc scan index — cached on small tables,
+        built transiently on big ones (the caller must not retain it)."""
+        from . import reach as reach_mod
+
+        return reach_mod._rc_index_kernel(part.kmers, self.k)
 
     def prepare_spcr(self) -> None:
         """Build the sPCR device indexes up front (one-time cost,
@@ -1194,9 +1206,9 @@ class SortedKmerStore:
         empty = (np.zeros(0, np.uint64), np.zeros(0, np.uint32))
         if not s.parts:
             return [empty for _ in requests]
-        _sidecars, rc_indexes, _bases = self._spcr_index()
+        _sidecars, rc_cached, _bases = self._spcr_index()
 
-        pend = []
+        prepped = []
         for oligos, olen in requests:
             if olen <= 0 or olen >= s.k:
                 raise ValueError(
@@ -1209,9 +1221,20 @@ class SortedKmerStore:
             padded[: len(oligos)] = np.sort(
                 np.asarray(oligos, np.uint64)
             )
-            oj = jnp.asarray(padded)
+            prepped.append((jnp.asarray(padded), shift))
+
+        # partition-outer so big tables build each rc index ONCE,
+        # scan every request against it, and release it before the
+        # next partition; request-level syncs stay deferred behind the
+        # async copies issued at dispatch
+        results = [([empty[0]], [empty[1]]) for _ in requests]
+        for pi, p in enumerate(s.parts):
+            rc_sorted, rc_order = (
+                rc_cached[pi] if rc_cached is not None
+                else self._rc_index_for(p)
+            )
             parts_out = []
-            for p, (rc_sorted, rc_order) in zip(s.parts, rc_indexes):
+            for (oj, shift) in prepped:
                 res = _fused_scan_kernel(
                     p.kmers, p.counts, rc_sorted, rc_order,
                     jnp.int64(p.n), oj, shift, s.k, max_out,
@@ -1219,13 +1242,8 @@ class SortedKmerStore:
                 for a in res:
                     a.copy_to_host_async()
                 parts_out.append(res)
-            pend.append((oligos, olen, parts_out))
-
-        out = []
-        for oligos, olen, parts_out in pend:
-            all_k, all_c = [empty[0]], [empty[1]]
-            for (p, (rc_sorted, rc_order)), (kk, cc, totals) in zip(
-                zip(s.parts, rc_indexes), parts_out
+            for ri, ((oligos, olen), (kk, cc, totals)) in enumerate(
+                zip(requests, parts_out)
             ):
                 tot = np.asarray(totals)
                 if int(tot.max()) > max_out:
@@ -1241,10 +1259,12 @@ class SortedKmerStore:
                     cf = np.asarray(cc)
                     live = kf != EMPTY
                     kh, ch = kf[live], cf[live]
-                all_k.append(kh)
-                all_c.append(ch)
-            out.append((np.concatenate(all_k), np.concatenate(all_c)))
-        return out
+                results[ri][0].append(kh)
+                results[ri][1].append(ch)
+        return [
+            (np.concatenate(ks), np.concatenate(cs))
+            for ks, cs in results
+        ]
 
     def prefix_scan(self, oligos, oligo_len: int, min_count: int,
                     max_out: int = 1 << 12):
@@ -1263,8 +1283,12 @@ class SortedKmerStore:
         oligos = np.asarray(oligos, dtype=np.uint64)
         all_k, all_c = [np.zeros(0, np.uint64)], [np.zeros(0, np.uint32)]
         if s.parts:
-            _sidecars, rc_indexes, _bases = self._spcr_index()
-            for p, (rc_sorted, rc_order) in zip(s.parts, rc_indexes):
+            _sidecars, rc_cached, _bases = self._spcr_index()
+            for pi, p in enumerate(s.parts):
+                rc_sorted, rc_order = (
+                    rc_cached[pi] if rc_cached is not None
+                    else self._rc_index_for(p)
+                )
                 kk, cc = range_scan_part(
                     p.kmers, p.counts, rc_sorted, rc_order, p.n,
                     oligos, oligo_len, s.k, max_out=max_out,
