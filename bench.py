@@ -258,6 +258,13 @@ def _spcr_phase(args, store, n_reads: int):
     from sharkmer_tpu.stats import run_pcr
 
     panel_params = get_panel(args.panel)
+    try:
+        import jax
+
+        ms = jax.devices()[0].memory_stats() or {}
+        _stage(f"  hbm in use: {ms.get('bytes_in_use', 0)/1e9:.2f} GB")
+    except Exception:
+        pass
     t0 = time.perf_counter()
     filtered = FilteredTable(store, min_count=2, mode=args.mirror)
     # one-time device index build (auto) or full device->host export
