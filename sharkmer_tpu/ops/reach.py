@@ -77,6 +77,7 @@ import numpy as np
 
 log = logging.getLogger("sharkmer")
 
+from ..utils import phases
 from .encoding import KMER_SENTINEL
 from .hashtable import _revcomp_kernel
 
@@ -353,7 +354,8 @@ def range_scan_part(part_keys, part_counts, rc_sorted, rc_order, n: int,
 
     kh = np.asarray(kmers)
     ch = np.asarray(counts)
-    live = kh != EMPTY
+    # count-0 rows are drain-v2 ghost duplicates of a live key
+    live = (kh != EMPTY) & (ch > 0)
     return kh[live], ch[live]
 
 
@@ -393,10 +395,14 @@ def _closure_run(lookup, c0, k: int, depth: int, f_cap: int,
     frontier's neighbours were unexplored), so pre-marked rows cannot
     sit on any path from the roots to uncovered rows.
 
-    Returns (log [(depth+1)*f_cap] global row ids INF-padded in BFS
-    level blocks, boundary [<= f_cap] frontier kmers at loop exit
-    (EMPTY-padded; non-empty only when depth was exhausted),
-    n_visited, iters, overflow, done).
+    Returns (log [(depth+4)*f_cap] global row ids INF-padded in BFS
+    level blocks (closure_log_w: +4 blocks cover the narrow phase's
+    4x-unroll ghost levels), boundary [<= f_cap] frontier kmers at
+    loop exit (EMPTY-padded; non-empty only when depth was exhausted),
+    n_visited, iters, overflow, done). ``depth`` is a floor-accurate
+    but not strict cap: the narrow phase can overshoot by up to 3
+    levels (one 4x-unrolled body), so callers must not treat
+    iters <= depth as an invariant.
     """
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     log_w = closure_log_w(depth, f_cap)
@@ -666,13 +672,42 @@ class ReachResult:
 PRE_W = 4096
 
 
-def _pad_pre(pre) -> np.ndarray | None:
+def _pad_pre(pre, roots=None) -> np.ndarray | None:
+    """Pad warm-start keys to PRE_W. Deduplicates (mark()'s scatter-add
+    is exact-OR only for unique ids, so uniqueness is enforced at this
+    API boundary, not assumed of callers). When truncation is needed,
+    keys NEAREST the new roots are kept: the walk re-expands outward
+    from the roots, so pre-marked territory far from them buys nothing,
+    while the first PRE_W keys in sorted order are uncorrelated with
+    the walk's neighbourhood and would degrade the warm start to a
+    near-no-op once the cache exceeds PRE_W keys."""
     if pre is None:
         return None
-    pre = np.asarray(pre, np.uint64).reshape(-1)
+    pre = np.unique(np.asarray(pre, np.uint64).reshape(-1))
     pre = pre[pre != EMPTY]
     if len(pre) == 0:
         return None
+    if len(pre) > PRE_W and roots is not None and len(roots):
+        # keep the PRE_W keys closest (in sorted-key rank) to any root:
+        # expand a window around each root's insertion point until the
+        # combined coverage reaches PRE_W
+        ins = np.searchsorted(pre, np.asarray(roots, np.uint64))
+        half = max(PRE_W // (2 * len(ins)), 1)
+        idx = np.unique(
+            np.clip(
+                ins[:, None] + np.arange(-half, half)[None, :],
+                0, len(pre) - 1,
+            )
+        )
+        while len(idx) < PRE_W and len(idx) < len(pre):
+            half *= 2
+            idx = np.unique(
+                np.clip(
+                    ins[:, None] + np.arange(-half, half)[None, :],
+                    0, len(pre) - 1,
+                )
+            )
+        pre = pre[idx[:PRE_W]]
     out = np.full(PRE_W, EMPTY, np.uint64)
     out[: min(len(pre), PRE_W)] = pre[:PRE_W]
     return out
@@ -749,11 +784,13 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
             bh = np.asarray(boundary)
             out_b.append(bh[bh != EMPTY])
         iters += it
+        call_wall = time.perf_counter() - t_call
+        phases.add("closures", call_wall)
+        phases.add("closure_levels", 0.0, calls=it)
         log.debug(
             "reach: %d roots, %d iters, %d visited, f_cap %d, "
             "done=%s, %.3fs",
-            len(chunk), it, n_vis, cur_f, done,
-            time.perf_counter() - t_call,
+            len(chunk), it, n_vis, cur_f, done, call_wall,
         )
 
     keys = np.concatenate(out_k)
@@ -774,7 +811,7 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
           min_count: int, k: int, depth: int = DEPTH, f_cap: int = F_CAP,
           max_retries: int = 4, pre=None) -> ReachResult | None:
     """Single-chip reach: partition-tuple kernel + the shared driver."""
-    pre_j = _pad_pre(pre)
+    pre_j = _pad_pre(pre, roots=roots)
     pre_j = jnp.asarray(pre_j) if pre_j is not None else None
     # packed probes carry a saturating count in the key's spare bits;
     # exact iff the threshold fits below the saturation cap

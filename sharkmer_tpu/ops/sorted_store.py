@@ -1257,7 +1257,10 @@ class SortedKmerStore:
                 else:
                     kf = np.asarray(kk)
                     cf = np.asarray(cc)
-                    live = kf != EMPTY
+                    # count-0 rows are drain-v2 ghost duplicates of a
+                    # live key: filter them so results honor the
+                    # documented min-count-1 contract
+                    live = (kf != EMPTY) & (cf > 0)
                     kh, ch = kf[live], cf[live]
                 results[ri][0].append(kh)
                 results[ri][1].append(ch)

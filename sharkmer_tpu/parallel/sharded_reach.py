@@ -234,7 +234,7 @@ def sharded_reach(store, index: ShardedSpcrIndex, roots: np.ndarray,
     from ..ops.reach import _pad_pre
 
     k = store.k
-    pre_h = _pad_pre(pre)
+    pre_h = _pad_pre(pre, roots=roots)
     has_pre = pre_h is not None
     pre_j = jnp.asarray(
         pre_h if has_pre

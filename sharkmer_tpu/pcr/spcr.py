@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 from ..format import format_duration
 from ..ops.encoding import kmer_to_seq
+from ..utils import phases
 from . import bubble as bubble_mod
 from . import graph as graph_mod
 from . import paths as paths_mod
@@ -71,9 +72,11 @@ def do_pcr(
     gene = params.gene_name
     log.info("[%s] Running PCR", gene)
     log.info("[%s] Preprocessing primers", gene)
+    t_phase = time.monotonic()
     forward_primer_kmers, reverse_primer_kmers = primers_mod.get_primer_kmers(
         params, kmer_counts
     )
+    phases.add("primer_discovery", time.monotonic() - t_phase)
 
     fwd_missing = len(forward_primer_kmers) == 0
     rev_missing = len(reverse_primer_kmers) == 0
@@ -185,9 +188,13 @@ def do_pcr(
         "[%s] Done. Time to extend graph: %s",
         gene, format_duration(time.monotonic() - extend_start),
     )
+    # extend_total includes the device closure time accumulated under
+    # "closures" by ops.reach; the difference is the host graph replay
+    phases.add("extend_total", time.monotonic() - extend_start)
 
     assembly_records_all: list[paths_mod.AssemblyRecord] = []
     amplicon_index = 0
+    t_phase = time.monotonic()
 
     if found_path_signal:
         pruned_graph = current_graph.clone()
@@ -266,6 +273,8 @@ def do_pcr(
                 log.info("[%s] Obtained %d PCR product(s).", gene, len(records))
                 assembly_records_all.extend(records)
                 failure_reason = None
+
+    phases.add("assembly", time.monotonic() - t_phase)
 
     if (max_forward_count < 5) or (max_reverse_count < 5):
         log.info(

@@ -109,11 +109,22 @@ def run_pcr(
 
     log.info("Running in silico PCR...")
     log.info("Filtering kmers with count < %d before PCR", filtered.min_count)
+    import time as _time
+
+    from .utils import phases
+
+    t_warm = _time.monotonic()
     filtered.warm_caches()  # one mirror/rc-index build, not one per worker
+    # reset AFTER warm_caches: its warmup reach calls route through
+    # _drive_closure and would otherwise pollute the "closures" phase
+    phases.reset()
+    phases.add("warm_caches", _time.monotonic() - t_warm)
     # pre-fetch every gene's primer scans in one batched dispatch
     from .pcr.primers import warm_panel_scans
 
+    t_scans = _time.monotonic()
     warm_panel_scans(filtered, pcr_runs)
+    phases.add("panel_scans", _time.monotonic() - t_scans)
 
     def one(params: PCRParams):
         return do_pcr(
@@ -172,6 +183,9 @@ def run_pcr(
                 sym_fail, result.gene_name, result.failure_reason,
             )
 
+    # permanent phase split (task: every bench stderr tail carries it);
+    # warning level so default bench/CLI logging shows the line
+    log.warning("  sPCR phases: %s", phases.report())
     log.info("Done running in silico PCR")
     return pcr_results
 
