@@ -311,8 +311,14 @@ def run_bench(args):
     _stage("warmup: count pass (compiles)")
     warm_store, _ = _one_pass(make_store, batches)
     _stage(f"warmup: sPCR prep, mode={args.mirror} (compiles)")
-    FilteredTable(warm_store, min_count=2, mode=args.mirror).warm_caches()
-    del warm_store
+    warm_filtered = FilteredTable(warm_store, min_count=2, mode=args.mirror)
+    warm_filtered.warm_caches()
+    # panel-scan kernel shapes (one batched dispatch per panel)
+    from sharkmer_tpu.pcr.panels import get_panel
+    from sharkmer_tpu.pcr.primers import warm_panel_scans
+
+    warm_panel_scans(warm_filtered, get_panel(args.panel))
+    del warm_filtered, warm_store
     warmup_wall = time.perf_counter() - _T0
     _stage(f"warmup done ({counters['hits']} persistent-cache hits, "
            f"{counters['writes']} writes)")

@@ -320,6 +320,91 @@ def _fused_scan_kernel(part_keys, part_counts, rc_sorted, rc_order,
     return kmers, counts, jnp.stack([fwd_total, rc_total])
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_out"))
+def _panel_scan_kernel(part_keys, part_counts, rc_sorted, rc_order,
+                       n_keys, oligos, shifts, req_ids, k: int,
+                       max_out: int):
+    """EVERY primer scan of a panel over one partition in ONE dispatch.
+
+    The per-request formulation (_fused_scan_kernel) costs one
+    dispatch + ~4 host transfers per (gene, primer, mismatch level) —
+    ~40 requests per panel, and on the tunneled deployment link each
+    small transfer pays a ~20 ms ramp, so the panel's primer discovery
+    spent ~4.5 s almost entirely on link round trips. Here the whole
+    panel's requests are concatenated into one oligo array with
+    per-oligo shifts and request tags, producing FOUR fetched arrays
+    total.
+
+    ``oligos`` [N] u64: concatenated per-request sorted oligo arrays;
+    ``shifts`` [N] u64: 2*(k - olen) per oligo (olen may differ across
+    requests); ``req_ids`` [N] i32: owning request, -1 for padding.
+    Per-request semantics are preserved exactly: forward prefix hits
+    report the table k-mer, reverse-strand hits report revcomp, and a
+    row hit both ways WITHIN THE SAME REQUEST reports forward only.
+
+    Returns (kmers [2*max_out], counts [2*max_out], reqs [2*max_out]
+    i32 with -1 for dead slots, totals [2] i64 true fwd/rc match
+    grand totals for overflow detection).
+    """
+    valid = req_ids >= 0
+    one = jnp.uint64(1)
+    lo = jnp.where(valid, oligos << shifts, jnp.uint64(0))
+    hi = jnp.where(valid, (oligos + one) << shifts, jnp.uint64(0))
+
+    def ranges(sorted_keys):
+        s = jnp.minimum(jnp.searchsorted(sorted_keys, lo), n_keys)
+        e = jnp.minimum(jnp.searchsorted(sorted_keys, hi), n_keys)
+        e = jnp.where(valid, e, s)
+        lens = (e - s).astype(jnp.int64)
+        offs = jnp.cumsum(lens)
+        total = offs[-1]
+        j = jnp.arange(max_out, dtype=jnp.int64)
+        seg = jnp.minimum(
+            jnp.searchsorted(offs, j, side="right"), offs.shape[0] - 1
+        )
+        base = offs[seg] - lens[seg]
+        row = s[seg].astype(jnp.int64) + (j - base)
+        ok = j < total
+        row = jnp.where(ok, row, jnp.int64(-1))
+        req = jnp.where(ok, req_ids[seg], jnp.int32(-1))
+        return row, req, total
+
+    fwd_rows, fwd_req, fwd_total = ranges(part_keys)
+    rc_pos, rc_req, rc_total = ranges(rc_sorted)
+    rc_rows = jnp.where(
+        rc_pos >= 0,
+        rc_order[jnp.maximum(rc_pos, 0)].astype(jnp.int64),
+        jnp.int64(-1),
+    )
+    # forward precedence per request: pack (req, row) into one i64 key
+    big = jnp.int64(0x7FFF_FFFF_FFFF_FFFF)
+    fwd_pk = jnp.where(
+        fwd_rows >= 0,
+        (fwd_req.astype(jnp.int64) << 40) | fwd_rows, big,
+    )
+    rc_pk = (rc_req.astype(jnp.int64) << 40) | jnp.maximum(rc_rows, 0)
+    fwd_sorted = jnp.sort(fwd_pk)
+    idx = jnp.minimum(jnp.searchsorted(fwd_sorted, rc_pk), max_out - 1)
+    dup = (fwd_sorted[idx] == rc_pk) & (rc_rows >= 0)
+    rc_rows = jnp.where(dup, jnp.int64(-1), rc_rows)
+    rc_req = jnp.where(dup, jnp.int32(-1), rc_req)
+
+    safe_f = jnp.maximum(fwd_rows, 0)
+    safe_r = jnp.maximum(rc_rows, 0)
+    k_f = part_keys[safe_f]
+    k_r = _revcomp_kernel(part_keys[safe_r], k)
+    kmers = jnp.concatenate([
+        jnp.where(fwd_rows >= 0, k_f, jnp.uint64(EMPTY)),
+        jnp.where(rc_rows >= 0, k_r, jnp.uint64(EMPTY)),
+    ])
+    counts = jnp.concatenate([
+        jnp.where(fwd_rows >= 0, part_counts[safe_f], jnp.uint32(0)),
+        jnp.where(rc_rows >= 0, part_counts[safe_r], jnp.uint32(0)),
+    ])
+    reqs = jnp.concatenate([fwd_req, rc_req])
+    return kmers, counts, reqs, jnp.stack([fwd_total, rc_total])
+
+
 def range_scan_part(part_keys, part_counts, rc_sorted, rc_order, n: int,
                     oligos: np.ndarray, oligo_len: int, k: int,
                     max_out: int = 1 << 12):
@@ -454,6 +539,15 @@ def _closure_run(lookup, c0, k: int, depth: int, f_cap: int,
         order2 = jnp.argsort(ids_s)
         ids_f = ids_s[order2][:width]
         km_f = km_s[order2][:width]
+        if ids_f.shape[0] < width:
+            # the root-level call can be narrower than the frontier
+            # when a grow-retry raises f_cap past the fixed c0 width:
+            # pad so every loop carry keeps the frontier shape
+            pad = width - ids_f.shape[0]
+            ids_f = jnp.concatenate([ids_f, jnp.full((pad,), inf)])
+            km_f = jnp.concatenate(
+                [km_f, jnp.full((pad,), jnp.uint64(EMPTY))]
+            )
         n_new = jnp.sum(ids_f != inf).astype(jnp.int32)
         return km_f, ids_f, n_new, n_all > n_new
 
@@ -537,6 +631,47 @@ def _pack_scalars(n_vis, it, overflow, done):
     ])
 
 
+# Static width of the closure result prefix gathered in-kernel; larger
+# visited sets (rare) spill to one extra _spill_gather_kernel call.
+OUT_W = 1 << 14
+
+
+def _gather_rows(keys2d, counts2d, bases, ids, k: int, packed: bool):
+    """(keys, counts) of global row ``ids`` (INF-padded, any order) from
+    the per-partition 2D planes. EMPTY/0 where id is INF."""
+    kmask = jnp.uint64((1 << (2 * k)) - 1)
+    live = ids != _INF32
+    out_keys = jnp.full(ids.shape, jnp.uint64(EMPTY))
+    out_counts = jnp.zeros(ids.shape, jnp.uint32)
+    for k2d, c2d, base in zip(keys2d, counts2d, bases):
+        n_rows = k2d.shape[0] * BLOCK
+        local = (ids - jnp.int32(base)).astype(jnp.int64)
+        mine = live & (local >= 0) & (local < n_rows)
+        safe = jnp.where(mine, local, 0)
+        # 2D indexing: a flat reshape of the big planes would copy them
+        gk = k2d[safe // BLOCK, safe % BLOCK]
+        if packed:  # strip the packed count bits back off the key
+            gk = gk & kmask
+        out_keys = jnp.where(mine, gk, out_keys)
+        # counts come from the exact u32 plane either way
+        out_counts = jnp.where(
+            mine, c2d[safe // BLOCK, safe % BLOCK], out_counts
+        )
+    return out_keys, out_counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "packed", "width", "bases"),
+)
+def _spill_gather_kernel(keys2d, counts2d, bases, log_sorted, k: int,
+                         packed: bool, width: int):
+    """Wider gather for the rare closure whose visited set exceeds
+    OUT_W: re-gathers the first ``width`` compacted ids."""
+    ids = jax.lax.slice(log_sorted, (0,), (width,))
+    return _gather_rows(keys2d, counts2d, bases, ids, k, packed)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -558,9 +693,11 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     (total padded rows / 32). See ``_closure_run`` for the state
     machine.
 
-    Returns (visited_keys, visited_counts [(depth+1)*f_cap],
-    boundary kmers, scalars) — the append-log of first-visit rows
-    compacted ascending plus the cutoff frontier (see _closure_run).
+    Returns (visited_keys, visited_counts [OUT_W], boundary kmers,
+    scalars, log_sorted) — the append-log of first-visit rows compacted
+    ascending, truncated to the static OUT_W prefix (log_sorted lets
+    the driver re-gather wider on the rare n_vis > OUT_W call), plus
+    the cutoff frontier (see _closure_run).
     """
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     inf = jnp.int32(_INF32)
@@ -615,35 +752,24 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
         lookup, c0, k, depth, f_cap, f_narrow, n_words, pre=pre
     )
 
-    # gather keys/counts of the logged first-visit rows, then compact
-    # with one tiny kv-sort: EMPTY keys sort to the end and real keys
-    # come out ascending — so callers can fetch just the occupied
-    # prefix, and it is already in ReachResult order
-    out_keys = jnp.full((log_w,), jnp.uint64(EMPTY))
-    out_counts = jnp.zeros((log_w,), jnp.uint32)
-    live = log != inf
-    for k2d, c2d, base in zip(keys2d, counts2d, bases):
-        n_rows = k2d.shape[0] * BLOCK
-        local = (log - jnp.int32(base)).astype(jnp.int64)
-        mine = live & (local >= 0) & (local < n_rows)
-        safe = jnp.where(mine, local, 0)
-        # 2D indexing: a flat reshape of the big planes would copy them
-        gk = k2d[safe // BLOCK, safe % BLOCK]
-        if packed:  # strip the packed count bits back off the key
-            gk = gk & kmask
-        out_keys = jnp.where(mine, gk, out_keys)
-        # counts come from the exact u32 plane either way
-        out_counts = jnp.where(
-            mine, c2d[safe // BLOCK, safe % BLOCK], out_counts
-        )
-    out_keys, out_counts = jax.lax.sort(
-        (out_keys, out_counts), num_keys=1, is_stable=False
+    # compact the id log FIRST (one i32 sort: INF padding to the end,
+    # real ids ascending == keys ascending, since global row ids follow
+    # partition key order), then gather only a small static prefix.
+    # Gathering the full log costs 2*log_w scattered reads (~0.25 s at
+    # f_cap 1024 on the deployment chip) for closures that typically
+    # visit only a few thousand rows; n_vis > OUT_W spills to a
+    # separate wider gather call (rare — the driver handles it).
+    log_sorted = jax.lax.sort(log, is_stable=False)
+    out_w = min(OUT_W, log_w)
+    ids_out = jax.lax.slice(log_sorted, (0,), (out_w,))
+    out_keys, out_counts = _gather_rows(
+        keys2d, counts2d, bases, ids_out, k, packed
     )
     # scalars packed into ONE small array: on the tunneled deployment
     # link every host sync is a ~20 ms round trip, so four separate
     # int()/bool() reads per call would dominate small closures
     scalars = _pack_scalars(n_vis, it, overflow, done)
-    return out_keys, out_counts, boundary, scalars
+    return out_keys, out_counts, boundary, scalars, log_sorted
 
 
 @functools.partial(jax.jit, static_argnames=("width",))
@@ -715,16 +841,20 @@ def _pad_pre(pre, roots=None) -> np.ndarray | None:
 
 def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
                    f_cap: int = F_CAP,
-                   max_retries: int = 4) -> ReachResult | None:
+                   max_retries: int = 4,
+                   spill_gather=None) -> ReachResult | None:
     """Shared host driver for closure kernels with grow-and-retry.
 
     ``run_kernel(c0, f_cap, f_narrow) -> (keys, counts, boundary,
-    scalars)`` is the backend hook: the single-chip partition kernel or
-    the mesh-sharded kernel (parallel/sharded_reach.py). ``roots``:
-    candidate k-mers of the current host wave (directional;
-    canonicalized on device). Returns None when the closure overflowed
-    even at the largest retry shapes (the caller falls back to exact
-    but slow per-wave device lookups).
+    scalars[, log_sorted])`` is the backend hook: the single-chip
+    partition kernel or the mesh-sharded kernel
+    (parallel/sharded_reach.py). ``roots``: candidate k-mers of the
+    current host wave (directional; canonicalized on device).
+    ``spill_gather(log_sorted, width) -> (keys, counts)`` re-gathers a
+    wider result prefix when n_vis exceeds the kernel's static OUT_W
+    (only backends returning log_sorted support it). Returns None when
+    the closure overflowed even at the largest retry shapes (the
+    caller falls back to exact but slow per-wave device lookups).
     """
     roots = np.unique(np.asarray(roots, dtype=np.uint64).reshape(-1))
     roots = roots[roots != EMPTY]
@@ -750,9 +880,9 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
         cur_f, cur_n = f_cap, F_NARROW
         t_call = time.perf_counter()
         for attempt in range(max_retries + 1):
-            keys, counts, boundary, scalars = run_kernel(
-                jnp.asarray(c0), cur_f, min(cur_n, cur_f)
-            )
+            out = run_kernel(jnp.asarray(c0), cur_f, min(cur_n, cur_f))
+            keys, counts, boundary, scalars = out[:4]
+            log_sorted = out[4] if len(out) > 4 else None
             sc = np.asarray(scalars)  # the call's ONE device sync
             n_vis, it = int(sc[0]), int(sc[1])
             overflow, done = bool(sc[2]), bool(sc[3])
@@ -764,6 +894,18 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
             # (shapes stay on the quantized ladder)
             cur_f *= F_GROW
             cur_n *= F_GROW
+        if n_vis > int(keys.shape[0]):
+            if spill_gather is None or log_sorted is None:
+                # kernel returned the full log (sharded backend) but
+                # the visited set somehow exceeds it: impossible by
+                # construction; guard anyway
+                n_vis = int(keys.shape[0])
+            else:
+                # rare: visited set exceeds the kernel's static OUT_W
+                # prefix — one wider gather over the compacted id log
+                w = 1 << max(n_vis - 1, 0).bit_length()
+                w = min(w, int(log_sorted.shape[0]))
+                keys, counts = spill_gather(log_sorted, w)
         if n_vis:
             # fetch only the occupied prefix (the kernel compacted it
             # to the front); pow2 widths keep the slice kernel at a
@@ -837,4 +979,10 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
             n_words, bases, packed, probe_w=probe_w, pre=pre_j,
         )
 
-    return _drive_closure(run_kernel, roots, depth, f_cap, max_retries)
+    def spill_gather(log_sorted, width):
+        return _spill_gather_kernel(
+            keys2d, counts2d, bases, log_sorted, k, packed, width
+        )
+
+    return _drive_closure(run_kernel, roots, depth, f_cap, max_retries,
+                          spill_gather=spill_gather)

@@ -1187,20 +1187,23 @@ class SortedKmerStore:
             depth=depth or reach_mod.DEPTH, pre=pre,
         )
 
-    def prefix_scan_many(self, requests, max_out: int = 1 << 12):
-        """Batched primer scans with deferred syncs.
+    def prefix_scan_many(self, requests, max_out: int = 1 << 14):
+        """All primer scans in ONE device dispatch per partition.
 
-        ``requests``: list of (oligos u64 array, oligo_len). EVERY
-        request x partition kernel is dispatched before the first host
-        sync, so the whole panel's primer discovery pays ONE link round
-        trip instead of one per (gene, primer, mismatch level) — on the
-        tunneled deployment link each sync costs ~0.1 s and a 7-gene
-        panel issues ~40 scans. Returns [(kmers, counts)] per request
-        at min count 1 (callers filter); semantics per request are
-        identical to ``prefix_scan`` (each request keeps its own
+        ``requests``: list of (oligos u64 array, oligo_len). The whole
+        panel's oligo sets are concatenated into one tagged array and
+        scanned by ``reach._panel_scan_kernel``, so the panel's primer
+        discovery pays FOUR host transfers per partition instead of
+        four per (gene, primer, mismatch level) — on the tunneled
+        deployment link each small transfer costs ~20 ms and a 7-gene
+        panel issues ~40 requests. Returns [(kmers, counts)] per
+        request at min count 1 (callers filter); semantics per request
+        are identical to ``prefix_scan`` (each request keeps its own
         forward-precedence, nothing is unioned across requests).
+        ``max_out`` bounds the TOTAL matches across the whole batch
+        per orientation; overflow retries at the exact pow2 need.
         """
-        from .reach import _fused_scan_kernel, range_scan_part
+        from .reach import _panel_scan_kernel
 
         s = self._flushed()
         empty = (np.zeros(0, np.uint64), np.zeros(0, np.uint32))
@@ -1208,62 +1211,66 @@ class SortedKmerStore:
             return [empty for _ in requests]
         _sidecars, rc_cached, _bases = self._spcr_index()
 
-        prepped = []
+        n_oligos = 0
         for oligos, olen in requests:
             if olen <= 0 or olen >= s.k:
                 raise ValueError(
                     f"oligo length {olen} out of range for k={s.k}"
                 )
-            shift = 2 * (s.k - olen)
-            pad_val = np.uint64(1) << np.uint64(2 * olen)
-            width = max(64, 1 << max(len(oligos) - 1, 0).bit_length())
-            padded = np.full(width, pad_val, np.uint64)
-            padded[: len(oligos)] = np.sort(
+            n_oligos += len(oligos)
+        width = max(64, 1 << max(n_oligos - 1, 0).bit_length())
+        all_oligos = np.zeros(width, np.uint64)
+        all_shifts = np.zeros(width, np.uint64)
+        all_reqs = np.full(width, -1, np.int32)
+        pos = 0
+        for ri, (oligos, olen) in enumerate(requests):
+            n = len(oligos)
+            all_oligos[pos : pos + n] = np.sort(
                 np.asarray(oligos, np.uint64)
             )
-            prepped.append((jnp.asarray(padded), shift))
+            all_shifts[pos : pos + n] = 2 * (s.k - olen)
+            all_reqs[pos : pos + n] = ri
+            pos += n
+        oj = jnp.asarray(all_oligos)
+        sj = jnp.asarray(all_shifts)
+        rj = jnp.asarray(all_reqs)
 
-        # partition-outer so big tables build each rc index ONCE,
-        # scan every request against it, and release it before the
-        # next partition; request-level syncs stay deferred behind the
-        # async copies issued at dispatch
+        # partition-outer so big tables build each rc index ONCE and
+        # release it before the next partition
         results = [([empty[0]], [empty[1]]) for _ in requests]
         for pi, p in enumerate(s.parts):
             rc_sorted, rc_order = (
                 rc_cached[pi] if rc_cached is not None
                 else self._rc_index_for(p)
             )
-            parts_out = []
-            for (oj, shift) in prepped:
-                res = _fused_scan_kernel(
+            mo = max_out
+            while True:
+                kk, cc, rr, totals = _panel_scan_kernel(
                     p.kmers, p.counts, rc_sorted, rc_order,
-                    jnp.int64(p.n), oj, shift, s.k, max_out,
+                    jnp.int64(p.n), oj, sj, rj, s.k, mo,
                 )
-                for a in res:
+                for a in (totals, kk, cc, rr):
                     a.copy_to_host_async()
-                parts_out.append(res)
-            for ri, ((oligos, olen), (kk, cc, totals)) in enumerate(
-                zip(requests, parts_out)
-            ):
-                tot = np.asarray(totals)
-                if int(tot.max()) > max_out:
-                    # rare overflow: rerun this partition synchronously
-                    # with the grow-and-retry path
-                    kh, ch = range_scan_part(
-                        p.kmers, p.counts, rc_sorted, rc_order, p.n,
-                        np.asarray(oligos, np.uint64), olen, s.k,
-                        max_out=1 << (int(tot.max()) - 1).bit_length(),
-                    )
-                else:
-                    kf = np.asarray(kk)
-                    cf = np.asarray(cc)
-                    # count-0 rows are drain-v2 ghost duplicates of a
-                    # live key: filter them so results honor the
-                    # documented min-count-1 contract
-                    live = (kf != EMPTY) & (cf > 0)
-                    kh, ch = kf[live], cf[live]
-                results[ri][0].append(kh)
-                results[ri][1].append(ch)
+                tot = int(np.asarray(totals).max())
+                if tot <= mo:
+                    break
+                mo = 1 << (tot - 1).bit_length()
+            kf = np.asarray(kk)
+            cf = np.asarray(cc)
+            rf = np.asarray(rr)
+            # count-0 rows are drain-v2 ghost duplicates of a live
+            # key: filter them so results honor the min-count-1
+            # contract
+            live = (rf >= 0) & (kf != EMPTY) & (cf > 0)
+            kf, cf, rf = kf[live], cf[live], rf[live]
+            order = np.argsort(rf, kind="stable")
+            kf, cf, rf = kf[order], cf[order], rf[order]
+            bounds = np.searchsorted(rf, np.arange(len(requests) + 1))
+            for ri in range(len(requests)):
+                lo, hi = bounds[ri], bounds[ri + 1]
+                if hi > lo:
+                    results[ri][0].append(kf[lo:hi])
+                    results[ri][1].append(cf[lo:hi])
         return [
             (np.concatenate(ks), np.concatenate(cs))
             for ks, cs in results

@@ -419,3 +419,29 @@ def test_warm_caches_degrades_when_index_build_fails(monkeypatch):
     np.testing.assert_array_equal(
         view.get_canonical_many(q), exact.get_canonical_many(q)
     )
+
+
+def test_reach_spill_past_out_w():
+    """Visited sets larger than the kernel's static OUT_W prefix spill
+    to the wider log gather (ops/reach.py _spill_gather_kernel): 20k
+    isolated k-mers used as their own roots all hit at level 0."""
+    from sharkmer_tpu.ops.reach import OUT_W
+
+    k = 21
+    n = OUT_W + 4000
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 1 << (2 * k), size=3 * n, dtype=np.uint64)
+    canon = np.unique(
+        np.minimum(raw, np.array([revcomp_kmer(int(x), k) for x in raw],
+                                 np.uint64))
+    )[:n]
+    assert len(canon) == n
+    counts = rng.integers(2, 50, size=n, dtype=np.uint32)
+    store = SortedKmerStore.create(k)
+    store.insert_kmers(canon, counts)
+
+    res = store.reach(canon, min_count=2, depth=64)
+    assert res is not None and res.complete
+    assert len(res.keys) == n
+    np.testing.assert_array_equal(res.keys, canon)
+    np.testing.assert_array_equal(res.counts, counts)

@@ -452,3 +452,39 @@ def test_drain_v2_store_end_to_end():
     assert store.n_unique() == 3  # lazy real count skips the ghost
     ks, cs = store.to_sorted_arrays()
     assert list(ks) == [5, 9, 12] and list(cs) == [3, 7, 2]
+
+
+def test_prefix_scan_many_matches_per_request():
+    """The one-dispatch batched panel scan (_panel_scan_kernel) must
+    match per-request prefix_scan exactly: mixed oligo lengths, shared
+    rows across requests (per-request forward precedence), and a
+    max_out overflow retry."""
+    from sharkmer_tpu.pcr.primers import string_to_oligo
+
+    k = 11
+    rng = np.random.default_rng(11)
+    genome = "".join(rng.choice(list("ACGT"), size=3000))
+    reads = reads_from_genome(genome, 900, 80, seed=2)
+    store = SortedKmerStore.create(k)
+    store.ingest_codes(codes_to_batch([ascii_to_codes(r) for r in reads]))
+
+    requests = []
+    for olen, n_oligos in ((5, 40), (7, 12), (9, 6), (6, 1)):
+        raws = set()
+        for _ in range(n_oligos):
+            p = rng.integers(0, len(genome) - olen)
+            raws.add(genome[p : p + olen])
+        oligos = np.array(
+            sorted(string_to_oligo(o)[0] for o in raws), np.uint64
+        )
+        requests.append((oligos, olen))
+    # duplicate request: identical oligo sets must yield identical rows
+    requests.append(requests[0])
+
+    batched = store.prefix_scan_many(requests, max_out=64)  # forces retry
+    assert len(batched) == len(requests)
+    for (oligos, olen), (bk, bc) in zip(requests, batched):
+        sk, sc = store.prefix_scan(oligos, olen, min_count=1)
+        assert sorted(zip(bk.tolist(), bc.tolist())) == sorted(
+            zip(sk.tolist(), sc.tolist())
+        ), f"olen={olen}"
