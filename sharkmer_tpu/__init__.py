@@ -38,6 +38,14 @@ import jax
 # k-mers are packed 2 bits/base into uint64 (k <= 31 -> up to 62 bits).
 jax.config.update("jax_enable_x64", True)
 
+# Mosaic's kernel-lowering walks nested jaxprs recursively (~3 Python
+# frames per traversed eqn); the reach probe kernel's DMA loops sit
+# right at CPython's default 1000-frame limit, so whether a trace
+# succeeds would otherwise depend on the caller's stack depth.
+import sys as _sys
+
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20_000))
+
 # Persistent XLA compilation cache: without it every CLI invocation pays
 # the full (remote) compile cost again. Honour an explicit
 # JAX_COMPILATION_CACHE_DIR; otherwise default to a per-user cache dir.

@@ -196,6 +196,137 @@ if HAVE_PALLAS:
     # offsets must be provably tile-divisible
     STITCH_ALIGN = 1024
 
+    # -- reach probe: per-candidate bucket-window DMA gather ------------------
+    #
+    # The closure loop's table probe is the sPCR hot op: per BFS level
+    # it must fetch, for each of C candidate k-mers, a ~64-row window
+    # of the sorted table at the candidate's bucket offset. XLA lowers
+    # those scattered row gathers at ~14M elem/s on this chip
+    # (~0.6 ms/level at C=128), which made deep closures cost ~1 s
+    # each. Here each window is ONE async HBM->VMEM DMA; C DMAs are
+    # issued back-to-back and overlap in the memory system, then the
+    # key/count compare runs vectorized on the VPU over all windows.
+    #
+    # The probe plane is a [n_super, 128] u32 array: super-row s holds
+    # table rows [64s, 64s+64) of the count-packed key plane as
+    # [lo(rows 64s..+31) | hi(same) | lo(+32..+63) | hi(same)] — u64
+    # keys travel as u32 halves (the deployment backend's X64-rewrite
+    # pass cannot rewrite custom calls with u64 operands), and the
+    # 128-lane layout matches the HBM tile so each window DMA moves
+    # whole tiles. Windows start at 8-super-row-aligned offsets
+    # (r16 = (j0 >> 1) & ~7, clamped), so a PROBE_WSUP-row window
+    # always covers the probe's [s, e) bucket rows for probe widths
+    # up to 16 blocks.
+
+    PROBE_CHUNK = 128  # candidates per grid step (= DMAs in flight)
+    PROBE_WSUP = 16    # super-rows (of 64 table rows) per window
+
+    def _gather_windows_kernel(r16_ref, plane_ref, out_ref, sems):
+        """DMA PROBE_CHUNK aligned [PROBE_WSUP, 128] windows of the
+        probe plane straight into the output block — one async copy
+        per candidate, all in flight together. The key/count compare
+        runs in XLA on the gathered windows: keeping it out of the
+        kernel keeps VMEM at ~2 output blocks (a per-row broadcast of
+        the candidate scalars inside the kernel cost 8 [C*16, 1]
+        VMEM blocks, which pad to a full 128-lane tile each and blew
+        the 16 MB scoped-vmem limit at wide frontiers)."""
+        g = pl.program_id(0)
+
+        # python-unrolled: a lax.fori_loop here sends this deployment
+        # toolchain's Mosaic lowering into unbounded
+        # _convert_element_type recursion (an i64 index convert
+        # materializes under jax_enable_x64 that the pre-2025-05
+        # runtime cannot extsi-lower); all scalars are pinned to i32
+        # for the same reason
+        def dma(i: int):
+            off = pl.multiple_of(
+                r16_ref[g * np.int32(PROBE_CHUNK) + np.int32(i)], 8
+            )
+            return pltpu.make_async_copy(
+                plane_ref.at[pl.ds(off, PROBE_WSUP), :],
+                out_ref.at[
+                    pl.ds(np.int32(i * PROBE_WSUP), PROBE_WSUP), :
+                ],
+                sems.at[np.int32(i)],
+            )
+
+        for i in range(PROBE_CHUNK):
+            dma(i).start()
+        for i in range(PROBE_CHUNK):
+            dma(i).wait()
+
+    @functools.partial(
+        jax.jit, static_argnames=("k", "interpret")
+    )
+    def probe_rows(plane, r16, clo, chi, s, e, mc, k: int,
+                   interpret: bool = False):
+        """Row index (or -1) of each candidate's key in the sorted
+        count-packed plane, restricted to bucket window [s_i, e_i) and
+        count >= mc. ``r16`` [C] i32: 8-aligned super-row window
+        starts; ``clo``/``chi`` [C] u32: candidate key halves (chi
+        pre-masked to the key's hi bits); C must be a multiple of
+        PROBE_CHUNK. Valid for 17 <= k <= 26: key bits 0..31 in the
+        lo half, key bits 32..2k-1 in the hi half's low bits, count
+        above them."""
+        C = r16.shape[0]
+        R = PROBE_CHUNK * PROBE_WSUP
+        zero = np.int32(0)
+        r16 = r16.astype(jnp.int32)
+        win = pl.pallas_call(
+            _gather_windows_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(C // PROBE_CHUNK,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(
+                    (R, 128), lambda g, *_: (g, zero),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((PROBE_CHUNK,))],
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (C * PROBE_WSUP, 128), jnp.uint32
+            ),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(r16, plane)
+
+        hk_mask = jnp.uint32((1 << (2 * k - 32)) - 1)
+        ck_shift = jnp.uint32(2 * k - 32)
+        w = win.reshape(C, PROBE_WSUP, 4, 32)
+        lo = w[:, :, 0::2, :]   # [C, WSUP, 2, 32]
+        hi = w[:, :, 1::2, :]
+        rows = (
+            64 * (r16[:, None, None, None]
+                  + jnp.arange(PROBE_WSUP, dtype=jnp.int32)[
+                      None, :, None, None])
+            + 32 * jnp.arange(2, dtype=jnp.int32)[None, None, :, None]
+            + jnp.arange(32, dtype=jnp.int32)[None, None, None, :]
+        )
+        mc32 = jnp.asarray(mc).astype(jnp.uint32)
+        match = (
+            (lo == clo.astype(jnp.uint32)[:, None, None, None])
+            & ((hi & hk_mask) == chi.astype(jnp.uint32)[
+                :, None, None, None])
+            & ((hi >> ck_shift) >= mc32)
+            & (rows >= s.astype(jnp.int32)[:, None, None, None])
+            & (rows < e.astype(jnp.int32)[:, None, None, None])
+        )
+        return jnp.max(
+            jnp.where(match, rows, jnp.int32(-1)), axis=(1, 2, 3)
+        )
+
+    def build_probe_plane(packed):
+        """Count-packed u64 keys [n_rows] -> [n_rows/64, 128] u32
+        probe plane (see probe_rows). n_rows must be a multiple of
+        64."""
+        n = packed.shape[0]
+        lo = packed.astype(jnp.uint32).reshape(n // 64, 2, 1, 32)
+        hi = (packed >> jnp.uint64(32)).astype(
+            jnp.uint32
+        ).reshape(n // 64, 2, 1, 32)
+        return jnp.concatenate([lo, hi], axis=2).reshape(n // 64, 128)
+
     def _make_stitch_kernel(w: int):
         def _stitch_kernel(offs_ref, rows_ref, _init_ref, out_ref, sem):
             r = pl.program_id(0)

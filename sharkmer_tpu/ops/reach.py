@@ -189,6 +189,37 @@ class PartSidecar:
     # fixed probe-window width in BLOCK-row blocks: 2 except when a
     # bucket overflows the two-block window at the LUT bits cap
     probe_blocks: int = 2
+    # [n_rows/64, 128] u32 probe plane for the Pallas DMA probe
+    # (pallas_kernels.probe_rows): built INSTEAD of packed2d on
+    # platforms where the Pallas path runs — same bytes, same packed
+    # count semantics
+    super2d: jax.Array | None = None
+
+
+def _pallas_probe_wanted(k: int, n_slots: int, probe_blocks: int) -> bool:
+    """Pallas DMA probe availability: TPU (or forced for interpret
+    tests), key split across the u32 halves (17 <= k <= 26 with the
+    packed count in the hi half), window-coverable probe width, and a
+    table big enough for the 16-super-row windows."""
+    import os
+
+    from .pallas_kernels import HAVE_PALLAS
+    from .sorted_store import _platform
+
+    env = os.environ.get("SHARKMER_PALLAS_PROBE", "")
+    if env == "0":
+        return False
+    if not HAVE_PALLAS or not (17 <= k <= 26) or probe_blocks > 16:
+        return False
+    if n_slots % 64 or n_slots // 64 < 16:
+        return False
+    return env == "force" or _platform() == "tpu"
+
+
+def _probe_interpret() -> bool:
+    from .sorted_store import _platform
+
+    return _platform() != "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -234,15 +265,22 @@ def build_sidecar(part_keys, part_counts, k: int,
             [part_counts, jnp.zeros((pad,), jnp.uint32)]
         )
     packed2d = None
+    super2d = None
     if with_packed and 64 - 2 * k >= 12:
-        packed2d = _pack_counts_kernel(
-            part_keys, part_counts, k
-        ).reshape(-1, BLOCK)
+        packed = _pack_counts_kernel(part_keys, part_counts, k)
+        if _pallas_probe_wanted(
+            k, int(part_keys.shape[0]), probe_blocks
+        ):
+            from .pallas_kernels import build_probe_plane
+
+            super2d = build_probe_plane(packed)
+        else:
+            packed2d = packed.reshape(-1, BLOCK)
     return PartSidecar(
         keys2d=part_keys.reshape(-1, BLOCK),
         counts2d=part_counts.reshape(-1, BLOCK),
         lut=lut, bits=bits, shift=shift, packed2d=packed2d,
-        probe_blocks=probe_blocks,
+        probe_blocks=probe_blocks, super2d=super2d,
     )
 
 
@@ -676,13 +714,14 @@ def _spill_gather_kernel(keys2d, counts2d, bases, log_sorted, k: int,
     jax.jit,
     static_argnames=(
         "k", "depth", "f_cap", "f_narrow", "n_words", "bases", "packed",
-        "probe_w",
+        "probe_w", "pallas_probe", "interpret",
     ),
 )
 def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
                   k: int, depth: int, f_cap: int, f_narrow: int,
                   n_words: int, bases: tuple, packed: bool,
-                  probe_w: int = 2, pre=None):
+                  probe_w: int = 2, pre=None, planes: tuple = (),
+                  pallas_probe: bool = False, interpret: bool = False):
     """Depth-capped 8-neighbour closure over the partitioned table.
 
     keys2d/counts2d/luts: tuples of per-partition sidecar arrays (when
@@ -703,11 +742,47 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     inf = jnp.int32(_INF32)
     k2ds, c2ds = keys2d, counts2d
 
+    def lookup_pallas(cand):
+        """(global row id | INF) per candidate via the Pallas DMA
+        probe: the LUT gathers stay in XLA (cheap — tens of scattered
+        i32 reads), the expensive bucket-window row fetches run as one
+        async DMA per candidate (pallas_kernels.probe_rows)."""
+        from .pallas_kernels import probe_rows
+
+        ids = jnp.full(cand.shape, inf)
+        clo = cand.astype(jnp.uint32)
+        chi = ((cand >> jnp.uint64(32)).astype(jnp.uint32)
+               & jnp.uint32((1 << (2 * k - 32)) - 1))
+        for plane, lut, shift, base in zip(planes, luts, shifts, bases):
+            b = jnp.minimum(
+                cand >> jnp.uint64(shift),
+                jnp.uint64(lut.shape[0] - 2),
+            ).astype(jnp.int64)
+            s = lut[b]
+            e = lut[b + 1]
+            live = (cand != jnp.uint64(EMPTY)) & (e > s)
+            s_in = jnp.where(live, s, 0)
+            e_in = jnp.where(live, e, 0)
+            n_super = plane.shape[0]
+            r16 = jnp.clip(
+                ((s >> 6) & ~jnp.int32(7)), 0, n_super - 16
+            )
+            row = probe_rows(
+                plane, r16, clo, chi, s_in, e_in, min_count, k,
+                interpret=interpret,
+            )
+            ids = jnp.where(
+                row >= 0, row + jnp.int32(base), ids
+            )
+        return ids
+
     def lookup(cand):
         """(global row id | INF) per candidate k-mer. One fixed
         ``probe_w``-block window per candidate: build_sidecar records
         the window that covers each partition's max bucket occupancy
         (no widen retries in the loop)."""
+        if pallas_probe:
+            return lookup_pallas(cand)
         ids = jnp.full(cand.shape, inf)
         for k2d, c2d, lut, shift, base in zip(
             k2ds, c2ds, luts, shifts, bases
@@ -907,13 +982,23 @@ def _drive_closure(run_kernel, roots: np.ndarray, depth: int,
                 w = min(w, int(log_sorted.shape[0]))
                 keys, counts = spill_gather(log_sorted, w)
         if n_vis:
-            # fetch only the occupied prefix (the kernel compacted it
-            # to the front); pow2 widths keep the slice kernel at a
-            # handful of compiled shapes, and the async copies share
-            # one link round trip
-            w = min(int(keys.shape[0]), 1 << max(n_vis - 1, 0).bit_length())
-            pk = _prefix_kernel(keys, w)
-            pc = _prefix_kernel(counts, w)
+            if int(keys.shape[0]) <= OUT_W:
+                # the result arrays are already the small static OUT_W
+                # prefix: fetch them whole. Slicing to pow2(n_vis)
+                # costs one _prefix_kernel compile per width — ~1 s
+                # each on the tunneled remote-compile platform, which
+                # dominated the first closure at each new width —
+                # while the full 16K-row fetch is ~15 ms of wire time.
+                pk, pc = keys, counts
+            else:
+                # full-log-width backends (mesh-sharded kernel):
+                # slice before fetching
+                w = min(
+                    int(keys.shape[0]),
+                    1 << max(n_vis - 1, 0).bit_length(),
+                )
+                pk = _prefix_kernel(keys, w)
+                pc = _prefix_kernel(counts, w)
             pk.copy_to_host_async()
             pc.copy_to_host_async()
             out_k.append(np.asarray(pk)[:n_vis])
@@ -957,13 +1042,20 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
     pre_j = jnp.asarray(pre_j) if pre_j is not None else None
     # packed probes carry a saturating count in the key's spare bits;
     # exact iff the threshold fits below the saturation cap
-    packed = all(s.packed2d is not None for s in sidecars) and (
-        min_count < (1 << (64 - 2 * k)) - 1
+    below_cap = min_count < (1 << (64 - 2 * k)) - 1
+    pallas_probe = below_cap and all(
+        s.super2d is not None for s in sidecars
+    )
+    packed = (not pallas_probe) and below_cap and all(
+        s.packed2d is not None for s in sidecars
     )
     keys2d = tuple(
         (s.packed2d if packed else s.keys2d) for s in sidecars
     )
     counts2d = tuple(s.counts2d for s in sidecars)
+    planes = (
+        tuple(s.super2d for s in sidecars) if pallas_probe else ()
+    )
     luts = tuple(s.lut for s in sidecars)
     shifts = tuple(
         jnp.asarray(s.shift, jnp.uint64) for s in sidecars
@@ -977,6 +1069,8 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
             keys2d, counts2d, luts, shifts, c0,
             jnp.uint32(max(min_count, 1)), k, depth, cur_f, cur_n,
             n_words, bases, packed, probe_w=probe_w, pre=pre_j,
+            planes=planes, pallas_probe=pallas_probe,
+            interpret=_probe_interpret(),
         )
 
     def spill_gather(log_sorted, width):

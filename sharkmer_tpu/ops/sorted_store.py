@@ -1126,6 +1126,24 @@ class SortedKmerStore:
         token = tuple(id(p) for p in s.parts)
         if cached is not None and cached[0] == token:
             return cached[1]
+        # drain-v2 ghost rows (zero-count duplicates of a live key, up
+        # to GHOST_Q consecutive) survive in partitions seeded straight
+        # from a drain, and a ghost run inflates one bucket's occupancy
+        # past the LUT's 2-block window — measured probe_blocks 64 on a
+        # 1M-read noisy table, a 32x wider (and slower) probe for every
+        # closure level. One compaction sort per partition (~0.1 s)
+        # de-ghosts the master in place before the index is built.
+        for i, p in enumerate(s.parts):
+            if p.n > p.real():
+                dk, dc, kept = _filter_compact_kernel(
+                    p.kmers, p.counts, jnp.uint32(1)
+                )
+                s.parts[i] = _Part(
+                    dk, dc, int(kept), p.first_key, n_real=int(kept)
+                )
+        # recompute the cache token AFTER de-ghosting: the _Part
+        # objects just changed identity
+        token = tuple(id(p) for p in s.parts)
         # the count-packed probe plane costs +8 B/row; above ~128M
         # rows (multi-partition deep tables) skip it so the whole sPCR
         # index fits HBM next to the master - probes then gather the

@@ -445,3 +445,34 @@ def test_reach_spill_past_out_w():
     assert len(res.keys) == n
     np.testing.assert_array_equal(res.keys, canon)
     np.testing.assert_array_equal(res.counts, counts)
+
+
+def test_pallas_probe_matches_xla_path(monkeypatch):
+    """The Pallas DMA probe (SHARKMER_PALLAS_PROBE=force, interpret on
+    CPU) must reproduce the XLA gather probe bit-for-bit: same visited
+    rows on a depth-capped genome walk and on isolated-root hits."""
+    monkeypatch.setenv("SHARKMER_PALLAS_PROBE", "force")
+    k = 21
+    genome = random_genome(1500, seed=9)
+    store = build_store(genome, k, n_reads=700, read_len=90)
+    model = store.to_dict()
+    assert store.parts and store.parts[0].kmers.shape[0] >= 1024
+    store.prepare_spcr()
+    assert store._spcr_cache[1][0][0].super2d is not None
+
+    root = seq_to_kmer(genome[700 : 700 + k])
+    depth = 24
+    for mc in (1, 2):
+        res = store.reach(np.array([root], np.uint64), min_count=mc,
+                          depth=depth)
+        assert res is not None
+        oracle_d, _ = closure_oracle(model, [int(root)], mc, k,
+                                     depth=depth)
+        got = set(res.keys.tolist())
+        missing = oracle_d - got
+        assert not missing, f"mc={mc}: {len(missing)} missing"
+        oracle_d4, _ = closure_oracle(model, [int(root)], mc, k,
+                                      depth=depth + 4)
+        assert got <= oracle_d4
+        for km, ct in zip(res.keys.tolist(), res.counts.tolist()):
+            assert model[km] == ct
