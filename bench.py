@@ -50,6 +50,18 @@ def _stage(msg: str) -> None:
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
+
+def _hbm(tag: str) -> None:
+    """HBM-in-use at a stage boundary (localizes RESOURCE_EXHAUSTED)."""
+    try:
+        import jax
+
+        ms = jax.devices()[0].memory_stats() or {}
+        _stage(f"  hbm[{tag}]: {ms.get('bytes_in_use', 0) / 1e9:.2f} GB "
+               f"(peak {ms.get('peak_bytes_in_use', 0) / 1e9:.2f})")
+    except Exception:
+        pass
+
 BASELINE_KMERS_PER_SEC = 131_779_117 / 22.5
 BASELINE_E2E_WALL_S = 22.5   # reference: 1M-read cnidaria run, count+sPCR
 BASELINE_E2E_8M_WALL_S = 169.1  # reference: same panel at 8M reads
@@ -258,13 +270,7 @@ def _spcr_phase(args, store, n_reads: int):
     from sharkmer_tpu.stats import run_pcr
 
     panel_params = get_panel(args.panel)
-    try:
-        import jax
-
-        ms = jax.devices()[0].memory_stats() or {}
-        _stage(f"  hbm in use: {ms.get('bytes_in_use', 0)/1e9:.2f} GB")
-    except Exception:
-        pass
+    _hbm("pre-spcr")
     t0 = time.perf_counter()
     filtered = FilteredTable(store, min_count=2, mode=args.mirror)
     # one-time device index build (auto) or full device->host export
@@ -272,6 +278,7 @@ def _spcr_phase(args, store, n_reads: int):
     # comparability
     filtered.warm_caches()
     prep_wall = time.perf_counter() - t0
+    _hbm("post-index")
 
     # same dynamic node budget the CLI resolves (graph.rs:40-52)
     max_nodes = compute_node_budget(n_reads * args.read_len)
@@ -370,6 +377,7 @@ def run_bench(args):
                 make_store, batches8, consume=True
             )
             count8_wall = time.perf_counter() - t0
+            _hbm("post-count-8m")
             del batches8
             gc.collect()
             total8 = n_batches8 * kmers_per_batch

@@ -169,19 +169,30 @@ F_NARROW = 16
 class PartSidecar:
     """Per-partition device index structures (immutable per flush).
 
-    The key/count planes are materialized as [n_blocks, BLOCK] arrays:
-    the probe's row gathers need the 2D layout, and reshaping flat
-    planes inside the kernel re-materializes them per while-loop
-    capture (measured: 3x per-level cost or +13 GB at 8M-read scale,
-    whichever way the reshape lands). The +12 B/row these copies cost
-    is paid back by dropping the packed probe plane on large tables
-    (see _spcr_index's with_packed gate)."""
+    ``keys1d``/``counts1d`` alias the partition's ORIGINAL sorted
+    planes (no copy) and serve the epilogue's result gathers. The
+    probe structure is ONE of:
 
-    keys2d: jax.Array   # [n_blocks, BLOCK] view of the sorted keys
-    counts2d: jax.Array
+    * ``super2d`` (Pallas DMA probe, pallas_kernels.probe_rows):
+      [n_rows/64, 128] u32 count-packed plane, +8 B/row — the only
+      per-row sidecar cost, so deep tables keep the fast probe;
+    * ``packed2d`` (XLA gather probe, packed): [n_blocks, BLOCK]
+      count-packed u64 blocks, +8 B/row plus 2D key/count copies
+      (+12 B/row) for the gathers — small-table / non-TPU fallback;
+    * neither (XLA gather probe, unpacked): 2D key/count copies only.
+
+    The 2D copies exist because reshaping flat planes inside the
+    reach kernel re-materializes them per while-loop capture
+    (measured: 3x per-level cost or +13 GB at 8M-read scale)."""
+
+    keys1d: jax.Array   # the partition's sorted keys (aliased)
+    counts1d: jax.Array
     lut: jax.Array      # [2^bits + 1] int32 row offsets
     bits: int
     shift: int
+    # XLA-probe planes (None on the Pallas path)
+    keys2d: jax.Array | None = None
+    counts2d: jax.Array | None = None
     # key | min(count, 2^(64-2k)-1) << 2k, when >= 12 spare bits exist:
     # the in-loop probe then gathers ONE block array for both the key
     # compare and the (saturating-exact) threshold test
@@ -190,9 +201,6 @@ class PartSidecar:
     # bucket overflows the two-block window at the LUT bits cap
     probe_blocks: int = 2
     # [n_rows/64, 128] u32 probe plane for the Pallas DMA probe
-    # (pallas_kernels.probe_rows): built INSTEAD of packed2d on
-    # platforms where the Pallas path runs — same bytes, same packed
-    # count semantics
     super2d: jax.Array | None = None
 
 
@@ -233,6 +241,10 @@ def _pack_counts_kernel(keys, counts, k: int):
 
 def build_sidecar(part_keys, part_counts, k: int,
                   with_packed: bool = True) -> PartSidecar:
+    """``with_packed=False`` (deep tables): no +8 B/row count-packed
+    plane UNLESS the Pallas probe is available — its super plane is
+    the cheapest probe structure (+8 B/row total, no 2D key/count
+    copies), so it is built at any table size."""
     n_slots = int(part_keys.shape[0])
     bits = _lut_bits(n_slots, k)
     cap = _lut_bits_cap(k)
@@ -266,19 +278,23 @@ def build_sidecar(part_keys, part_counts, k: int,
         )
     packed2d = None
     super2d = None
-    if with_packed and 64 - 2 * k >= 12:
-        packed = _pack_counts_kernel(part_keys, part_counts, k)
-        if _pallas_probe_wanted(
-            k, int(part_keys.shape[0]), probe_blocks
-        ):
-            from .pallas_kernels import build_probe_plane
+    pallas_ok = 64 - 2 * k >= 12 and _pallas_probe_wanted(
+        k, int(part_keys.shape[0]), probe_blocks
+    )
+    if pallas_ok:
+        from .pallas_kernels import build_probe_plane
 
-            super2d = build_probe_plane(packed)
-        else:
-            packed2d = packed.reshape(-1, BLOCK)
+        super2d = build_probe_plane(
+            _pack_counts_kernel(part_keys, part_counts, k)
+        )
+    elif with_packed and 64 - 2 * k >= 12:
+        packed2d = _pack_counts_kernel(
+            part_keys, part_counts, k
+        ).reshape(-1, BLOCK)
     return PartSidecar(
-        keys2d=part_keys.reshape(-1, BLOCK),
-        counts2d=part_counts.reshape(-1, BLOCK),
+        keys1d=part_keys, counts1d=part_counts,
+        keys2d=None if pallas_ok else part_keys.reshape(-1, BLOCK),
+        counts2d=None if pallas_ok else part_counts.reshape(-1, BLOCK),
         lut=lut, bits=bits, shift=shift, packed2d=packed2d,
         probe_blocks=probe_blocks, super2d=super2d,
     )
@@ -674,40 +690,33 @@ def _pack_scalars(n_vis, it, overflow, done):
 OUT_W = 1 << 14
 
 
-def _gather_rows(keys2d, counts2d, bases, ids, k: int, packed: bool):
-    """(keys, counts) of global row ``ids`` (INF-padded, any order) from
-    the per-partition 2D planes. EMPTY/0 where id is INF."""
-    kmask = jnp.uint64((1 << (2 * k)) - 1)
+def _gather_rows(keys1d, counts1d, bases, ids):
+    """(keys, counts) of global row ``ids`` (INF-padded, any order)
+    from the partitions' ORIGINAL 1D sorted planes (flat gathers — no
+    2D copies needed). EMPTY/0 where id is INF."""
     live = ids != _INF32
     out_keys = jnp.full(ids.shape, jnp.uint64(EMPTY))
     out_counts = jnp.zeros(ids.shape, jnp.uint32)
-    for k2d, c2d, base in zip(keys2d, counts2d, bases):
-        n_rows = k2d.shape[0] * BLOCK
+    for k1d, c1d, base in zip(keys1d, counts1d, bases):
+        n_rows = k1d.shape[0]
         local = (ids - jnp.int32(base)).astype(jnp.int64)
         mine = live & (local >= 0) & (local < n_rows)
         safe = jnp.where(mine, local, 0)
-        # 2D indexing: a flat reshape of the big planes would copy them
-        gk = k2d[safe // BLOCK, safe % BLOCK]
-        if packed:  # strip the packed count bits back off the key
-            gk = gk & kmask
-        out_keys = jnp.where(mine, gk, out_keys)
-        # counts come from the exact u32 plane either way
-        out_counts = jnp.where(
-            mine, c2d[safe // BLOCK, safe % BLOCK], out_counts
-        )
+        out_keys = jnp.where(mine, k1d[safe], out_keys)
+        out_counts = jnp.where(mine, c1d[safe], out_counts)
     return out_keys, out_counts
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "packed", "width", "bases"),
+    static_argnames=("width", "bases"),
 )
-def _spill_gather_kernel(keys2d, counts2d, bases, log_sorted, k: int,
-                         packed: bool, width: int):
+def _spill_gather_kernel(keys1d, counts1d, bases, log_sorted,
+                         width: int):
     """Wider gather for the rare closure whose visited set exceeds
     OUT_W: re-gathers the first ``width`` compacted ids."""
     ids = jax.lax.slice(log_sorted, (0,), (width,))
-    return _gather_rows(keys2d, counts2d, bases, ids, k, packed)
+    return _gather_rows(keys1d, counts1d, bases, ids)
 
 
 @functools.partial(
@@ -717,20 +726,22 @@ def _spill_gather_kernel(keys2d, counts2d, bases, log_sorted, k: int,
         "probe_w", "pallas_probe", "interpret",
     ),
 )
-def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
+def _reach_kernel(keys2d, counts2d, keys1d, counts1d, luts, shifts, c0,
+                  min_count,
                   k: int, depth: int, f_cap: int, f_narrow: int,
                   n_words: int, bases: tuple, packed: bool,
                   probe_w: int = 2, pre=None, planes: tuple = (),
                   pallas_probe: bool = False, interpret: bool = False):
     """Depth-capped 8-neighbour closure over the partitioned table.
 
-    keys2d/counts2d/luts: tuples of per-partition sidecar arrays (when
-    ``packed``, keys2d holds the count-packed blocks and the threshold
-    test rides the same gather); shifts: per-partition LUT shifts;
-    bases: per-partition global row-id offsets. c0: the host wave's
-    candidate k-mers, EMPTY-padded. ``n_words``: visited-bitmap width
-    (total padded rows / 32). See ``_closure_run`` for the state
-    machine.
+    Probe structure per mode: ``planes`` (Pallas super planes, with
+    keys2d/counts2d empty), or keys2d (count-packed blocks when
+    ``packed``, raw key blocks + counts2d otherwise). keys1d/counts1d:
+    the partitions' original 1D planes for the epilogue gathers.
+    shifts: per-partition LUT shifts; bases: per-partition global
+    row-id offsets. c0: the host wave's candidate k-mers, EMPTY-padded.
+    ``n_words``: visited-bitmap width (total padded rows / 32). See
+    ``_closure_run`` for the state machine.
 
     Returns (visited_keys, visited_counts [OUT_W], boundary kmers,
     scalars, log_sorted) — the append-log of first-visit rows compacted
@@ -838,7 +849,7 @@ def _reach_kernel(keys2d, counts2d, luts, shifts, c0, min_count,
     out_w = min(OUT_W, log_w)
     ids_out = jax.lax.slice(log_sorted, (0,), (out_w,))
     out_keys, out_counts = _gather_rows(
-        keys2d, counts2d, bases, ids_out, k, packed
+        keys1d, counts1d, bases, ids_out
     )
     # scalars packed into ONE small array: on the tunneled deployment
     # link every host sync is a ~20 ms round trip, so four separate
@@ -1049,24 +1060,28 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
     packed = (not pallas_probe) and below_cap and all(
         s.packed2d is not None for s in sidecars
     )
-    keys2d = tuple(
-        (s.packed2d if packed else s.keys2d) for s in sidecars
-    )
-    counts2d = tuple(s.counts2d for s in sidecars)
-    planes = (
-        tuple(s.super2d for s in sidecars) if pallas_probe else ()
-    )
+    if pallas_probe:
+        keys2d, counts2d = (), ()
+        planes = tuple(s.super2d for s in sidecars)
+    else:
+        keys2d = tuple(
+            (s.packed2d if packed else s.keys2d) for s in sidecars
+        )
+        counts2d = tuple(s.counts2d for s in sidecars)
+        planes = ()
+    keys1d = tuple(s.keys1d for s in sidecars)
+    counts1d = tuple(s.counts1d for s in sidecars)
     luts = tuple(s.lut for s in sidecars)
     shifts = tuple(
         jnp.asarray(s.shift, jnp.uint64) for s in sidecars
     )
-    n_rows_total = sum(int(s.keys2d.shape[0]) * BLOCK for s in sidecars)
+    n_rows_total = sum(int(s.keys1d.shape[0]) for s in sidecars)
     n_words = max(64, -(-n_rows_total // 32))
     probe_w = max((s.probe_blocks for s in sidecars), default=2)
 
     def run_kernel(c0, cur_f, cur_n):
         return _reach_kernel(
-            keys2d, counts2d, luts, shifts, c0,
+            keys2d, counts2d, keys1d, counts1d, luts, shifts, c0,
             jnp.uint32(max(min_count, 1)), k, depth, cur_f, cur_n,
             n_words, bases, packed, probe_w=probe_w, pre=pre_j,
             planes=planes, pallas_probe=pallas_probe,
@@ -1075,7 +1090,7 @@ def reach(sidecars: list[PartSidecar], bases: tuple, roots: np.ndarray,
 
     def spill_gather(log_sorted, width):
         return _spill_gather_kernel(
-            keys2d, counts2d, bases, log_sorted, k, packed, width
+            keys1d, counts1d, bases, log_sorted, width
         )
 
     return _drive_closure(run_kernel, roots, depth, f_cap, max_retries,
