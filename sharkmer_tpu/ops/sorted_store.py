@@ -807,6 +807,14 @@ class SortedKmerStore:
     _buf: jax.Array | None = None  # raw k-mer buffer (lazily allocated)
     _buf_cap: int = 0
     _fill: int = 0  # tiles written * tile width (sentinel slack included)
+    # staged run: drained unique runs accumulate here (merged pairwise
+    # with ONE aggregate each) and fold into the partitioned master
+    # only when the stage fills or a read forces _flushed(). Routing
+    # every drain straight into the master costs a full aggregate sort
+    # of every touched partition per drain — ~60% of the 8M-read count
+    # wall — while staged runs amortize it to one routing per
+    # max_agg-worth of uniques. (uk, uc, n_unique) or None.
+    _staged: tuple | None = None
 
     @staticmethod
     def create(k: int, capacity: int = 0, **_ignored) -> "SortedKmerStore":
@@ -870,7 +878,7 @@ class SortedKmerStore:
         """
         if other.k != self.k:
             raise ValueError("k mismatch in merge_from")
-        other._drain()
+        other._flushed()
         for p in other.parts:
             self.insert_kmers(p.kmers, p.counts)
         return self
@@ -945,7 +953,47 @@ class SortedKmerStore:
         if run_w != width:
             uk = jax.lax.slice(uk, (0,), (run_w,))
             uc = jax.lax.slice(uc, (0,), (run_w,))
-        self._merge_run(uk, uc, nu)
+        self._stage_run(uk, uc, nu)
+
+    def _stage_run(self, uk, uc, nu: int) -> None:
+        """Accumulate a drained unique run into the staged run.
+
+        The staged run is a sorted aggregated (keys, counts) pair of
+        bounded width (<= max_agg): merging two runs is ONE aggregate
+        sort, vs a per-partition aggregate for every drain on the
+        direct routing path. When the stage cannot absorb the new run
+        it folds into the master first. Width discipline: the stage
+        width only doubles from run widths, so merge shapes stay in
+        the same pow2 family as the drains themselves.
+        """
+        if self._staged is None:
+            self._staged = (uk, uc, nu)
+            return
+        sk, sc, sn = self._staged
+        cap = self._resolved_max_agg()
+        if sn + nu > cap or int(sk.shape[0]) + int(uk.shape[0]) > 2 * cap:
+            self._staged = None
+            self._merge_run(sk, sc, sn)
+            self._staged = (uk, uc, nu)
+            return
+        mk, mc, mn = _merge_kernel(
+            sk, sc, uk, uc, count_bits=self._count_bits()
+        )
+        mn = int(mn)
+        # keep the stage at the smallest pow2 width that holds it (the
+        # merged width is a sum of two pow2s; slicing back keeps the
+        # compiled-shape set bounded)
+        want = min(int(mk.shape[0]), _next_pow2(mn))
+        if want != int(mk.shape[0]):
+            mk = jax.lax.slice(mk, (0,), (want,))
+            mc = jax.lax.slice(mc, (0,), (want,))
+        self._staged = (mk, mc, mn)
+
+    def _fold_staged(self) -> None:
+        if self._staged is not None:
+            sk, sc, sn = self._staged
+            self._staged = None
+            self._merge_run(sk, sc, sn)
 
     def _merge_run(self, uk, uc, nu: int) -> None:
         """Fold one sorted unique run into the partitioned master.
@@ -1061,6 +1109,7 @@ class SortedKmerStore:
 
     def _flushed(self) -> "SortedKmerStore":
         self._drain()
+        self._fold_staged()
         return self
 
     def lookup(self, queries) -> jax.Array:

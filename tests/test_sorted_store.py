@@ -488,3 +488,30 @@ def test_prefix_scan_many_matches_per_request():
         assert sorted(zip(bk.tolist(), bc.tolist())) == sorted(
             zip(sk.tolist(), sc.tolist())
         ), f"olen={olen}"
+
+
+def test_staged_merge_batching_differential():
+    """Drained runs are STAGED into per-partition pending batches and
+    consolidated lazily (one aggregate per budget-full instead of one
+    per drain). Interleaving inserts with reads (which force
+    consolidation) and crossing many split boundaries must stay exact
+    vs a dict model."""
+    import collections
+
+    rng = np.random.default_rng(78)
+    store = SortedKmerStore.create(21)
+    store.max_agg = 1 << 9
+    model = collections.Counter()
+    for i in range(12):
+        # skewed batches: mostly clustered keys so single partitions
+        # absorb whole batches and pending builds up before a split
+        lo = (i % 3) * (1 << 11)
+        batch = rng.integers(lo, lo + (1 << 11), size=900,
+                             dtype=np.uint64)
+        store.insert_kmers(batch)
+        model.update(batch.tolist())
+        if i % 4 == 3:  # mid-stream read forces consolidation
+            assert store.n_unique() == len(model)
+    assert store.to_dict() == dict(model)
+    assert store.n_total() == sum(model.values())
+    assert store._staged is None
