@@ -22,6 +22,8 @@ import yaml
 
 SCRIPTS = Path(__file__).resolve().parent.parent / "scripts"
 sys.path.insert(0, str(SCRIPTS))
+# the synthetic-workload generator imports sharkmer_tpu directly
+sys.path.insert(0, str(SCRIPTS.parent))
 
 from sharkmer_validate import report, results, runner  # noqa: E402
 

@@ -378,6 +378,62 @@ _aggregate_ingest_v2_jit = functools.partial(
 )(_aggregate_ingest_v2_impl)
 
 
+def _aggregate_ingest_ghosted_impl(kmers, use_pallas: bool,
+                                   interpret: bool = False):
+    """Fresh-drain fast path: a sorted GHOSTED run, no compaction sort.
+
+    The compaction step (moving each run's survivor to the front) is
+    the drain's second-largest cost (~225 ms batched row sort + stitch
+    at 2^27), but a run that seeds an EMPTY master is never merged —
+    its only consumers tolerate ghost rows already. So: keys stay the
+    full sorted array (duplicate runs intact, EMPTY tail); counts
+    carry each run's total at its FIRST row and 0 on the duplicates
+    behind it (the drain-v2 ghost convention — searchsorted-left lands
+    on the live row). Totals are exact u32 at ANY multiplicity (run
+    length < 2^31; no packed-field saturation fallback needed).
+
+    Returns (keys, counts, n_padded, n_real): n_padded = occupied
+    slots including ghosts, n_real = distinct keys.
+    """
+    n = kmers.shape[0]
+    sk = jax.lax.sort(kmers, is_stable=False)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    if use_pallas:
+        from . import pallas_kernels
+
+        run_start = pallas_kernels.run_starts(sk, interpret=interpret)
+        # run LAST positions via the same kernel over the reversed
+        # array (two cheap HBM flips instead of a second scan design)
+        rs_rev = pallas_kernels.run_starts(
+            jnp.flip(sk), interpret=interpret
+        )
+        run_last = (n - 1) - jnp.flip(rs_rev)
+    else:
+        first_ = jnp.concatenate(
+            [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+        )
+        run_start = jax.lax.cummax(jnp.where(first_, pos, 0))
+        last_ = jnp.concatenate(
+            [sk[:-1] != sk[1:], jnp.ones((1,), bool)]
+        )
+        run_last = jnp.flip(jax.lax.cummin(jnp.flip(
+            jnp.where(last_, pos, jnp.int32(0x7FFF_FFFF))
+        )))
+    first = pos == run_start
+    occupied = sk != jnp.uint64(EMPTY)
+    total = (run_last - run_start + 1).astype(jnp.uint32)
+    counts = jnp.where(first & occupied, total, jnp.uint32(0))
+    n_real = jnp.sum(first & occupied, dtype=jnp.int64)
+    n_padded = jnp.sum(occupied, dtype=jnp.int64)
+    return sk, counts, n_padded, n_real
+
+
+_aggregate_ingest_ghosted_jit = functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("use_pallas", "interpret"),
+)(_aggregate_ingest_ghosted_impl)
+
+
 def _pallas_drain_enabled() -> bool:
     env = os.environ.get("SHARKMER_PALLAS_DRAIN")
     if env is not None:
@@ -942,7 +998,23 @@ class SortedKmerStore:
         if width != self._buf_cap:
             buf = jax.lax.slice(buf, (0,), (width,))
         self._fill = 0
-        uk, uc, nu_p, nu_r = _aggregate_ingest_kernel(buf, self.k)
+        if not self.parts and self._staged is None:
+            # first drain into an empty store: the ghosted fast path
+            # skips the compaction sort (the run seeds partitions
+            # as-is; ghosts are invisible to every consumer and the
+            # sPCR index de-ghosts before building sidecars)
+            from .pallas_kernels import HAVE_PALLAS, LANES
+
+            tile = 256 * LANES
+            use_pallas = (
+                HAVE_PALLAS and width % tile == 0
+                and _pallas_drain_enabled()
+            )
+            uk, uc, nu_p, nu_r = _aggregate_ingest_ghosted_jit(
+                buf, use_pallas=use_pallas
+            )
+        else:
+            uk, uc, nu_p, nu_r = _aggregate_ingest_kernel(buf, self.k)
         # one host sync per drain (drains are rare): both scalars ride
         # one fetch
         nus = np.asarray(_pack2_kernel(nu_p, nu_r))
@@ -1009,27 +1081,26 @@ class SortedKmerStore:
         if nu == 0:
             return
         if not self.parts:
-            # seed the master from the run's first W-slice; the tail of
-            # a wider run folds in through the merge path. part 0's
-            # lower bound is never consulted (it catches all keys below
-            # the second partition). Partitions start at the smallest
-            # power-of-two width that holds their occupancy and grow by
-            # doubling (up to W), so small workloads never touch the
-            # deployment-scale shapes.
-            head = min(nu, W)
-            width = min(W, _next_pow2(head))
-            sk, sc = _slice_run_kernel(uk, uc, 0, head, width)
-            self.parts = [_Part(sk, sc, head, 0)]
-            if nu <= W:
-                return
-            target = self.parts[0]
-            pos = head
+            # seed the master DIRECTLY from consecutive W-slices: the
+            # run is sorted, so each slice is a valid partition with
+            # no aggregate needed (the old path folded the tail
+            # through merge+split — three extra full sorts for a
+            # 2W-wide run). part 0's lower bound is never consulted
+            # (it catches all keys below the second partition).
+            # Partitions start at the smallest power-of-two width that
+            # holds their occupancy and grow by doubling (up to W), so
+            # small workloads never touch the deployment-scale shapes.
+            pos = 0
             while pos < nu:
                 size = min(W, nu - pos)
-                sk, sc = _slice_run_kernel(
-                    uk, uc, pos, size, min(W, _next_pow2(size))
+                width = min(W, _next_pow2(size))
+                sk, sc = _slice_run_kernel(uk, uc, pos, size, width)
+                first_key = (
+                    0 if pos == 0 else int(np.asarray(sk[0:1])[0])
                 )
-                target = self._merge_into_part(target, sk, sc)
+                self.parts.append(
+                    _Part(sk, sc, size, first_key)
+                )
                 pos += size
             return
 

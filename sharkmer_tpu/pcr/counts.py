@@ -83,7 +83,12 @@ class SmallCounts:
 
 # Above this many unique k-mers the full host mirror is not built
 # (memory); auto mode then degrades to device lookups when the backend
-# has no reach support.
+# has no reach support. Measured r5 (1M noisy reads, warm caches):
+# auto/reach-prefetch 4.2 s total vs full-mirror 9.7 s vs per-wave
+# device 153 s — so this constant no longer picks the default data
+# plane (auto wins at every size its index fits, i.e. everywhere);
+# it only caps the closure-overflow fallback's mirror at ~3 GB host
+# RAM (~12 B/key), past which the fallback is per-wave lookups.
 MIRROR_MAX_UNIQUE = 256_000_000
 
 

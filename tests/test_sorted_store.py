@@ -515,3 +515,36 @@ def test_staged_merge_batching_differential():
     assert store.to_dict() == dict(model)
     assert store.n_total() == sum(model.values())
     assert store._staged is None
+
+
+def test_ghosted_fresh_drain_differential():
+    """The fresh-drain ghosted fast path (no compaction sort) must
+    surface EXACTLY the same counts as the compacted path through
+    every consumer: dict export, lookups, histogram, n_unique, and a
+    later compacted drain merging on top."""
+    import collections
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 10, size=3000, dtype=np.uint64)
+    model = collections.Counter(keys.tolist())
+
+    store = SortedKmerStore.create(21)
+    store.max_agg = 1 << 12
+    store.insert_kmers(keys)
+    assert store.n_unique() == len(model)  # folds the staged run
+    # ghost rows present: padded occupancy above distinct keys
+    assert sum(p.n for p in store.parts) > len(model)
+    assert store.to_dict() == dict(model)
+    assert store.n_total() == sum(model.values())
+    q = np.array(list(model)[:64], np.uint64)
+    got = np.asarray(store.lookup(q))
+    np.testing.assert_array_equal(
+        got, [model[int(x)] for x in q])
+
+    # a second batch drains through the compacted path and merges over
+    # the ghosted partitions exactly
+    keys2 = rng.integers(0, 1 << 10, size=2500, dtype=np.uint64)
+    model.update(keys2.tolist())
+    store.insert_kmers(keys2)
+    assert store.to_dict() == dict(model)
+    assert store.n_total() == sum(model.values())
