@@ -192,6 +192,140 @@ if HAVE_PALLAS:
         )
         return jnp.maximum(local, carry[:, None]).reshape(-1)
 
+    _I32_MAX = np.int32(0x7FFF_FFFF)
+
+    def _shift_left_flat(v, s: int, fill):
+        """Shift a [R, LANES] tile left by s positions (s < LANES) in
+        FLAT row-major order, filling vacated trailing slots with
+        ``fill`` — the successor-window mirror of _shift_right_flat."""
+        R = v.shape[0]
+        next_row = pltpu.roll(v, shift=jnp.int32(R - 1), axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        next_row = jnp.where(row == R - 1, fill, next_row)
+        return jnp.concatenate(
+            [v[:, s:], next_row[:, :s]], axis=1
+        )
+
+    def _run_end_kernel(hi_ref, lo_ref, hi_b_ref, lo_b_ref, out_ref):
+        """Mirror of _run_start_kernel: position of each element's
+        equal-key run END (min-propagation over successors)."""
+        R = hi_ref.shape[0]
+        step = pl.program_id(0)
+        n = pl.num_programs(0) * (R * LANES)
+
+        hi = hi_ref[:]
+        lo = lo_ref[:]
+
+        # flat successor of every element; the tile's last slot comes
+        # from the next tile's first element (boundary refs)
+        nxt_hi = _shift_left_flat(hi, 1, jnp.uint32(0))
+        nxt_lo = _shift_left_flat(lo, 1, jnp.uint32(0))
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        at_end = (row == R - 1) & (col == LANES - 1)
+        nxt_hi = jnp.where(at_end, hi_b_ref[0, 0], nxt_hi)
+        nxt_lo = jnp.where(at_end, lo_b_ref[0, 0], nxt_lo)
+
+        base = step * (R * LANES)
+        pos = base + row * LANES + col
+        # the whole array's last element is always a run end (its
+        # boundary ref is a clamped self-read)
+        last = (hi != nxt_hi) | (lo != nxt_lo) | (pos == n - 1)
+        v = jnp.where(last, pos, _I32_MAX)
+
+        # running min in flat order over successors: lane-shift steps
+        # cover one full row, then a backward cross-row suffix fix
+        s = 1
+        while s < LANES:
+            v = jnp.minimum(v, _shift_left_flat(v, s, _I32_MAX))
+            s *= 2
+        row_min = jnp.broadcast_to(
+            jnp.min(v, axis=1, keepdims=True), (R, LANES)
+        )
+        s = 1
+        while s < R:
+            shifted = jnp.where(
+                row >= R - s,
+                _I32_MAX,
+                pltpu.roll(row_min, shift=jnp.int32(R - s), axis=0),
+            )
+            row_min = jnp.minimum(row_min, shifted)
+            s *= 2
+        row_carry = jnp.where(
+            row == R - 1,
+            _I32_MAX,
+            pltpu.roll(row_min, shift=jnp.int32(R - 1), axis=0),
+        )
+        out_ref[:] = jnp.minimum(v, row_carry)
+
+    @functools.partial(
+        jax.jit, static_argnames=("rows_per_tile", "interpret")
+    )
+    def run_ends(sorted_keys, rows_per_tile: int = 256,
+                 interpret: bool = False):
+        """Position of each element's equal-key run END, for a SORTED
+        u64 key array whose length is a multiple of rows_per_tile*512.
+
+        The backward mirror of :func:`run_starts` — one Pallas pass
+        plus a tiny reverse-cummin stitch over per-tile minima. Used
+        by the ghosted fresh drain, whose run totals live at run FIRST
+        rows (total = run_end - pos + 1 there): with this kernel the
+        drain needs no forward scan at all (first-markers are a local
+        predecessor compare) and no jnp.flip round-trips.
+        """
+        n = sorted_keys.shape[0]
+        R = rows_per_tile
+        tile = R * LANES
+        if n % tile:
+            raise ValueError(f"length {n} not a multiple of tile {tile}")
+        if R % 8:
+            raise ValueError("rows_per_tile must be a multiple of 8")
+        n_tiles = n // tile
+        hi = (sorted_keys >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = sorted_keys.astype(jnp.uint32)
+        hi = hi.reshape(n // LANES, LANES)
+        lo = lo.reshape(n // LANES, LANES)
+
+        zero = np.int32(0)
+        spec = pl.BlockSpec(
+            (R, LANES), lambda i: (i, zero), memory_space=pltpu.VMEM
+        )
+        # 8-row block starting at the NEXT tile's first row; clamped
+        # self-read at the final tile — the kernel overrides the last
+        # element via the pos == n-1 rule
+        n_blocks = np.int32(n // LANES // 8)
+        bspec = pl.BlockSpec(
+            (8, LANES),
+            lambda i: (
+                jnp.minimum(
+                    (i + np.int32(1)) * np.int32(R // 8),
+                    n_blocks - np.int32(1),
+                ),
+                zero,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        local = pl.pallas_call(
+            _run_end_kernel,
+            grid=(n_tiles,),
+            in_specs=[spec, spec, bspec, bspec],
+            out_specs=pl.BlockSpec(
+                (R, LANES), lambda i: (i, zero), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
+            interpret=interpret,
+        )(hi, lo, hi, lo)
+
+        local = local.reshape(n_tiles, tile)
+        tile_min = jnp.min(local, axis=1)
+        # reverse cummin of LATER tiles' minima (a run whose end lies
+        # beyond its tile is summarized by a whole later tile)
+        carry = jnp.concatenate([
+            jnp.flip(jax.lax.cummin(jnp.flip(tile_min)))[1:],
+            jnp.full((1,), int(_I32_MAX), jnp.int32),
+        ])
+        return jnp.minimum(local, carry[:, None]).reshape(-1)
+
     # 1D u32 arrays are HBM-tiled in 1024-element tiles; DMA slice
     # offsets must be provably tile-divisible
     STITCH_ALIGN = 1024

@@ -398,30 +398,22 @@ def _aggregate_ingest_ghosted_impl(kmers, use_pallas: bool,
     n = kmers.shape[0]
     sk = jax.lax.sort(kmers, is_stable=False)
     pos = jnp.arange(n, dtype=jnp.int32)
+    # run-first markers are a LOCAL predecessor compare; only the run
+    # END positions need a scan (total = run_end - pos + 1 at firsts)
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     if use_pallas:
         from . import pallas_kernels
 
-        run_start = pallas_kernels.run_starts(sk, interpret=interpret)
-        # run LAST positions via the same kernel over the reversed
-        # array (two cheap HBM flips instead of a second scan design)
-        rs_rev = pallas_kernels.run_starts(
-            jnp.flip(sk), interpret=interpret
-        )
-        run_last = (n - 1) - jnp.flip(rs_rev)
+        run_last = pallas_kernels.run_ends(sk, interpret=interpret)
     else:
-        first_ = jnp.concatenate(
-            [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
-        )
-        run_start = jax.lax.cummax(jnp.where(first_, pos, 0))
         last_ = jnp.concatenate(
             [sk[:-1] != sk[1:], jnp.ones((1,), bool)]
         )
         run_last = jnp.flip(jax.lax.cummin(jnp.flip(
             jnp.where(last_, pos, jnp.int32(0x7FFF_FFFF))
         )))
-    first = pos == run_start
     occupied = sk != jnp.uint64(EMPTY)
-    total = (run_last - run_start + 1).astype(jnp.uint32)
+    total = (run_last - pos + 1).astype(jnp.uint32)
     counts = jnp.where(first & occupied, total, jnp.uint32(0))
     n_real = jnp.sum(first & occupied, dtype=jnp.int64)
     n_padded = jnp.sum(occupied, dtype=jnp.int64)

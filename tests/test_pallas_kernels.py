@@ -90,6 +90,73 @@ def test_run_starts_rejects_untiled_width():
         )
 
 
+def _oracle_run_ends(sorted_keys: np.ndarray) -> np.ndarray:
+    """XLA formulation: reverse cummin over run-end positions."""
+    sk = jnp.asarray(sorted_keys)
+    last = jnp.concatenate([sk[:-1] != sk[1:], jnp.ones((1,), bool)])
+    pos = jnp.arange(sk.shape[0], dtype=jnp.int32)
+    return np.asarray(jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(last, pos, jnp.int32(0x7FFF_FFFF))
+    ))))
+
+
+@pytest.mark.parametrize("n_tiles", [1, 2, 4])
+def test_run_ends_matches_cummin(n_tiles):
+    n = n_tiles * TILE
+    sk = _sorted_keys_with_runs(n, n // 3, seed=n_tiles,
+                                sentinel_tail=n // 7)
+    got = np.asarray(
+        pallas_kernels.run_ends(jnp.asarray(sk), interpret=True)
+    )
+    np.testing.assert_array_equal(got, _oracle_run_ends(sk))
+
+
+def test_run_ends_edge_cases():
+    # all-equal keys: one run ending at the final element
+    sk = np.zeros(2 * TILE, np.uint64)
+    got = np.asarray(
+        pallas_kernels.run_ends(jnp.asarray(sk), interpret=True)
+    )
+    np.testing.assert_array_equal(
+        got, np.full(2 * TILE, 2 * TILE - 1, np.int32)
+    )
+
+    # all-distinct keys: every element is its own run end
+    sk = np.arange(TILE, dtype=np.uint64)
+    got = np.asarray(
+        pallas_kernels.run_ends(jnp.asarray(sk), interpret=True)
+    )
+    np.testing.assert_array_equal(got, np.arange(TILE, dtype=np.int32))
+
+    # runs of 4 straddling the tile boundary
+    sk = np.repeat(np.arange(TILE // 2, dtype=np.uint64), 4)
+    got = np.asarray(
+        pallas_kernels.run_ends(jnp.asarray(sk), interpret=True)
+    )
+    np.testing.assert_array_equal(got, _oracle_run_ends(sk))
+
+
+def test_ghosted_drain_pallas_matches_xla():
+    """The ghosted fresh drain's Pallas run-ends path must produce
+    bit-identical (keys, counts, n_padded, n_real) to the XLA
+    cummin fallback."""
+    from sharkmer_tpu.ops.sorted_store import _aggregate_ingest_ghosted_impl
+
+    buf = _sorted_keys_with_runs(TILE, TILE // 4, seed=5,
+                                 sentinel_tail=TILE // 5)
+    rng = np.random.default_rng(17)
+    rng.shuffle(buf)  # drains sort internally
+    k_p, c_p, np_p, nr_p = _aggregate_ingest_ghosted_impl(
+        jnp.asarray(buf), True, interpret=True
+    )
+    k_x, c_x, np_x, nr_x = _aggregate_ingest_ghosted_impl(
+        jnp.asarray(buf), False
+    )
+    assert int(np_p) == int(np_x) and int(nr_p) == int(nr_x)
+    np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_x))
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
+
+
 def test_drain_pallas_matches_xla(monkeypatch):
     """Full drain equivalence: the Pallas run-start path must produce
     bit-identical (keys, counts, n_unique) to the XLA cummax path."""
