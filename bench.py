@@ -358,6 +358,9 @@ def _warm_scale_shapes(args, make_store):
         store.insert_kmers(junk_jit(d))
         store.flush()
     store.histogram(10_000)
+    _stage("  junk warmup partition widths "
+           f"{[int(p.kmers.shape[0]) for p in getattr(store, 'parts', [])]}"
+           f" ({store.n_unique_master()} unique)")
     filtered = FilteredTable(store, min_count=2, mode=args.mirror)
     filtered.warm_caches()
     warm_panel_scans(filtered, get_panel(args.panel))
@@ -451,10 +454,24 @@ def run_bench(args):
             del batches8
             gc.collect()
             total8 = n_batches8 * kmers_per_batch
-            _stage(f"timed: sPCR prep+panel (8M, {n_unique8} unique)")
+            parts8 = [
+                int(p.kmers.shape[0])
+                for p in getattr(store8, "parts", [])
+            ]
+            _stage(f"timed: sPCR prep+panel (8M, {n_unique8} unique, "
+                   f"partition widths {parts8})")
+            h0, w0 = counters["hits"], counters["writes"]
             prep8, spcr8, genes_ok8, _ = _spcr_phase(
                 args, store8, args.reads_large
             )
+            if counters["writes"] > w0:
+                # a cache WRITE inside the timed row = a mid-run remote
+                # compile the deep-shape warmup missed; surface it
+                _stage(
+                    f"  WARNING: {counters['writes'] - w0} compile(s) "
+                    f"({counters['hits'] - h0} cache hits) inside the "
+                    "timed 8M sPCR phase — warmup shape gap"
+                )
             del store8
             e2e8 = count8_wall + prep8 + spcr8
             result.update({
