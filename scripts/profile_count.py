@@ -24,12 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    """Fetch one element to host — on the tunneled axon platform
+    block_until_ready returns before remote execution completes, so a
+    tiny device->host read is the only real synchronization."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        if hasattr(leaf, "shape") and getattr(leaf, "size", 0):
+            np.asarray(leaf.reshape(-1)[:1])
+    return out
+
+
 def timeit(label, fn, iters=3):
-    fn()  # compile + warm
+    _sync(fn())  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-        jax.block_until_ready(out)
+        _sync(fn())
     dt = (time.perf_counter() - t0) / iters
     print(f"{label:40s} {dt * 1e3:9.1f} ms", flush=True)
     return dt
@@ -70,30 +80,33 @@ def main():
            lambda: pallas_kernels.run_starts(sk), args.iters)
     timeit("flip + run_starts (bwd)",
            lambda: pallas_kernels.run_starts(jnp.flip(sk)), args.iters)
+    # the drain kernels DONATE their input: hand each call a fresh
+    # device-side copy so the (slow tunneled) host upload stays out of
+    # the measured window
     timeit(
-        "ghosted drain (sort+2 scans+counts)",
+        "ghosted drain (sort+1 scan+counts)",
         lambda: _aggregate_ingest_ghosted_jit(
-            jnp.asarray(raw), use_pallas=True
+            buf + jnp.uint64(0), use_pallas=True
         ),
         args.iters,
     )
     timeit(
         "v2 drain (sort+scan+row compact)",
         lambda: _aggregate_ingest_v2_jit(
-            jnp.asarray(raw), count_bits=64 - 2 * k, interpret=False
+            buf + jnp.uint64(0), count_bits=64 - 2 * k, interpret=False
         ),
         args.iters,
     )
 
     # counts array shaped like a seeded partition: histogram sweep cost
     ghk, ghc, n_p, n_r = _aggregate_ingest_ghosted_jit(
-        jnp.asarray(raw), use_pallas=True
+        buf + jnp.uint64(0), use_pallas=True
     )
     print(f"  (n_padded={int(n_p)}, n_real={int(n_r)})", flush=True)
 
     def full_store_pass():
         store = SortedKmerStore.create(k)
-        store.insert_kmers(jnp.asarray(raw))
+        store.insert_kmers(buf + jnp.uint64(0))  # device copy: no upload
         store.flush()
         return store
 
