@@ -371,18 +371,21 @@ def _ingest_all(args, engine: CountingEngine, max_reads: int,
                     with native_mod.NativeFastqReader(
                         str(path), args.validate_every
                     ) as reader:
-                        while True:
-                            batch = reader.read_batch(1 << 14)
-                            if batch is None:
-                                break
-                            if engine.ingest_code_batch(*batch, max_reads):
-                                reached = True
-                                break
-                            progress.tick(
-                                f"Ingesting reads... "
-                                f"{engine.stats.n_reads_read:,} reads "
-                                f"({engine.stats.n_bases_read / 1e6:,.1f} Mbp)"
-                            )
+                        # producer thread overlaps gzip decode with the
+                        # device uploads this loop issues; large batches
+                        # amortize the tunneled link's per-transfer cost
+                        with native_mod.PrefetchingBatches(
+                            reader, batch_reads=1 << 17, depth=3
+                        ) as batches:
+                            for batch in batches:
+                                if engine.ingest_code_batch(*batch, max_reads):
+                                    reached = True
+                                    break
+                                progress.tick(
+                                    f"Ingesting reads... "
+                                    f"{engine.stats.n_reads_read:,} reads "
+                                    f"({engine.stats.n_bases_read / 1e6:,.1f} Mbp)"
+                                )
                 else:
                     stream = fastq_mod.open_fastq(path)
                     reached = engine.ingest(

@@ -104,3 +104,52 @@ def test_engine_code_batch_path(tmp_path):
     for a, b in zip(vec_py, vec_nat):
         np.testing.assert_array_equal(a, b)
     assert eng_nat.table.to_dict() == eng_py.table.to_dict()
+
+
+def test_prefetching_batches_order_and_early_stop(tmp_path):
+    """The threaded pump yields the same batches in the same order as
+    direct reads, and an early consumer break stops+joins the producer
+    cleanly (no use of the reader after close)."""
+    from sharkmer_tpu.io.native import PrefetchingBatches
+
+    genome = random_genome(3000, seed=41)
+    reads = reads_from_genome(genome, 2500, 90, seed=42)
+    path = tmp_path / "r.fastq"
+    path.write_bytes(fastq_bytes(reads))
+
+    direct = []
+    with native_mod.NativeFastqReader(str(path)) as r:
+        while True:
+            out = r.read_batch(700)
+            if out is None:
+                break
+            direct.append(out)
+
+    with native_mod.NativeFastqReader(str(path)) as r:
+        with PrefetchingBatches(r, batch_reads=700) as batches:
+            pumped = list(batches)
+    assert len(pumped) == len(direct)
+    for (dc, dl), (pc, pl) in zip(direct, pumped):
+        np.testing.assert_array_equal(dc, pc)
+        np.testing.assert_array_equal(dl, pl)
+
+    # early break: consumer leaves after one batch; exit must join
+    with native_mod.NativeFastqReader(str(path)) as r:
+        with PrefetchingBatches(r, batch_reads=100, depth=2) as batches:
+            for _ in batches:
+                break
+        assert not batches._thread.is_alive()
+
+
+def test_prefetching_batches_forwards_errors(tmp_path):
+    """A format error raised in the producer thread surfaces in the
+    consumer."""
+    from sharkmer_tpu.io.fastq import FastqFormatError
+    from sharkmer_tpu.io.native import PrefetchingBatches
+
+    path = tmp_path / "bad.fastq"
+    path.write_bytes(b"@r1\nACGT\nNOT_A_PLUS\nIIII\n")
+    with native_mod.NativeFastqReader(str(path), validate_every=1) as r:
+        with PrefetchingBatches(r) as batches:
+            with pytest.raises(FastqFormatError):
+                list(batches)
